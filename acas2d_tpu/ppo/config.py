@@ -1,0 +1,73 @@
+"""PPO hyperparameters.
+
+Defaults replicate the reference's recorded configuration exactly (SB3
+defaults + seed, SURVEY.md §6 'PPO config of record', extracted from the
+committed best_model.zip and training_main.py:44-52): n_steps 2048, batch 64,
+10 epochs, gamma 0.99, GAE lambda 0.95, clip 0.2, ent_coef 0, vf_coef 0.5,
+max_grad_norm 0.5, Adam(3e-4, eps=1e-5).
+
+The reference runs ONE env; the TPU-native scale-out config (`tpu_default`)
+keeps the same optimization semantics but fills the 2048-step buffer from
+many vmapped envs per iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    # Rollout sizing
+    n_envs: int = 1
+    n_steps: int = 2048              # settings.py:10 N_STEPS
+    total_timesteps: int = 2048 * 512  # settings.py:11 TOTAL_STEPS
+
+    # Optimization (training_main.py:44-48 + SB3 defaults)
+    minibatch_size: int = 64
+    n_epochs: int = 10
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_range: float = 0.2
+    ent_coef: float = 0.0
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    learning_rate: float = 3e-4
+    adam_eps: float = 1e-5
+    normalize_advantage: bool = True
+
+    seed: int = 13                   # settings.py:28
+
+    # Evaluation cadence (training_main.py:31-35; settings.py:12)
+    eval_every_steps: int = 2048 * 512 // 32   # EVAL_STEPS = 32768
+    eval_episodes: int = 10                     # EVAL_EPISODES
+
+    @property
+    def batch_size(self) -> int:
+        return self.n_envs * self.n_steps
+
+    @property
+    def n_minibatches(self) -> int:
+        assert self.batch_size % self.minibatch_size == 0, (
+            f"buffer {self.batch_size} not divisible by minibatch "
+            f"{self.minibatch_size}")
+        return self.batch_size // self.minibatch_size
+
+    @property
+    def n_iterations(self) -> int:
+        return self.total_timesteps // self.batch_size
+
+
+def reference_config() -> PPOConfig:
+    """The exact single-env configuration of record."""
+    return PPOConfig()
+
+
+def tpu_default(n_envs: int = 4096, n_steps: int = 128,
+                total_timesteps: int = 2048 * 512 * 8,
+                minibatch_size: int = 65536) -> PPOConfig:
+    """Scaled config: same PPO semantics, TPU-sized batches."""
+    return PPOConfig(n_envs=n_envs, n_steps=n_steps,
+                     total_timesteps=total_timesteps,
+                     minibatch_size=minibatch_size,
+                     eval_every_steps=max(n_envs * n_steps * 4, 2048 * 512 // 32))

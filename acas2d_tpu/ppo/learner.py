@@ -1,0 +1,265 @@
+"""On-device PPO learner: rollout collection + clipped-surrogate updates.
+
+The reference's two hot loops (SURVEY.md §3.1) — SB3 collect_rollouts over a
+single Python env and torch-CPU PPO.train — become one jitted program: a
+`lax.scan` rollout over vmapped envs feeding a `lax.scan` of
+epochs x minibatches of Adam updates.  Nothing leaves the device between
+iterations; host code only reads back a small metrics dict.
+
+Optimization semantics replicate SB3 PPO (the config of record, SURVEY.md
+§6): raw (unclipped) gaussian samples keep their log-probs while the env
+receives actions clipped to [-1,1]; advantages are normalized per minibatch;
+value loss is un-clipped MSE; entropy uses the closed form; global-norm grad
+clipping at 0.5 before Adam(3e-4, eps=1e-5).
+
+Scaling: with env state sharded over the ('env',) mesh and params
+replicated, the rollout is embarrassingly parallel and XLA inserts gradient
+all-reduces (psum over ICI) in the update — a pjit data-parallel learner
+with no hand-written collectives (BASELINE.json configs 4-5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from acas2d_tpu.config import EnvParams
+from acas2d_tpu.envs import core, vector
+from acas2d_tpu.models.actor_critic import (ActorCritic, gaussian_entropy,
+                                            gaussian_log_prob, sample_action)
+from acas2d_tpu.ppo.config import PPOConfig
+from acas2d_tpu.ppo.gae import compute_gae
+from acas2d_tpu.types import EnvState
+
+
+@struct.dataclass
+class RolloutBatch:
+    """Time-major on-device rollout buffer, leaves (T, B, ...)."""
+    obs: jax.Array
+    actions: jax.Array      # raw (unclipped) samples
+    log_probs: jax.Array
+    values: jax.Array
+    rewards: jax.Array
+    dones: jax.Array
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    env_state: EnvState     # batched (B,)
+    obs: jax.Array          # (B, O)
+    key: jax.Array
+    global_step: jax.Array  # int64-ish counter (int32 is plenty here)
+
+
+def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.learning_rate, eps=cfg.adam_eps))
+
+
+def init_train_state(key: jax.Array, model: ActorCritic, cfg: PPOConfig,
+                     env_params: EnvParams, dtype=jnp.float32) -> TrainState:
+    k_model, k_env, k_carry = jax.random.split(key, 3)
+    obs_dim = env_params.obs_dim
+    # jit the init path: on a tunneled TPU backend, eager dispatch pays a
+    # remote-compile round trip per primitive op.
+    params = jax.jit(model.init)(k_model, jnp.zeros((1, obs_dim), dtype))
+    opt_state = jax.jit(make_optimizer(cfg).init)(params)
+    env_state, obs = jax.jit(
+        lambda k: vector.reset_batch(k, cfg.n_envs, env_params, dtype))(k_env)
+    return TrainState(params=params, opt_state=opt_state,
+                      env_state=env_state, obs=obs, key=k_carry,
+                      global_step=jnp.asarray(0, jnp.int32))
+
+
+# ---------------------------------------------------------------- rollout
+
+def collect_rollout(model: ActorCritic, state: TrainState, cfg: PPOConfig,
+                    env_params: EnvParams
+                    ) -> Tuple[TrainState, RolloutBatch, jax.Array, Dict]:
+    """Scan cfg.n_steps autoreset steps; returns (state', batch, last_value,
+    episode metrics aggregated over the rollout)."""
+
+    def body(carry, _):
+        env_state, obs, key = carry
+        key, k_act = jax.random.split(key)
+        mean, log_std, value = model.apply(state.params, obs)
+        action = sample_action(k_act, mean, log_std)          # (B, A)
+        logp = gaussian_log_prob(action, mean, log_std)       # (B,)
+        clipped = jnp.clip(action, -1.0, 1.0)
+        env_state, out = vector.step_autoreset_batch(
+            env_state, clipped[..., 0], env_params)
+        rb = RolloutBatch(obs=obs, actions=action, log_probs=logp,
+                          values=value, rewards=out.reward,
+                          dones=out.done)
+        ep_info = (out.done, out.episode_return, out.episode_steps, out.outcome)
+        return (env_state, out.obs, key), (rb, ep_info)
+
+    (env_state, obs, key), (batch, ep_info) = jax.lax.scan(
+        body, (state.env_state, state.obs, state.key), None,
+        length=cfg.n_steps)
+
+    _, _, last_value = model.apply(state.params, obs)
+
+    dones, ep_ret, ep_len, outcome = ep_info
+    n_ep = jnp.maximum(dones.sum(), 1)
+    metrics = {
+        "episodes": dones.sum(),
+        "ep_return_mean": jnp.where(dones, ep_ret, 0.0).sum() / n_ep,
+        "ep_length_mean": jnp.where(dones, ep_len, 0).sum() / n_ep,
+        "goal_rate": (outcome == 1).sum() / n_ep,
+        "collision_rate": (outcome == 2).sum() / n_ep,
+        "timeout_rate": (outcome == 3).sum() / n_ep,
+    }
+    new_state = state.replace(
+        env_state=env_state, obs=obs, key=key,
+        global_step=state.global_step + cfg.n_steps * cfg.n_envs)
+    return new_state, batch, last_value, metrics
+
+
+# ------------------------------------------------------------------- loss
+
+def ppo_loss(params, model: ActorCritic, mb, cfg: PPOConfig):
+    obs, actions, old_logp, old_values, advantages, returns = mb
+    mean, log_std, value = model.apply(params, obs)
+    logp = gaussian_log_prob(actions, mean, log_std)
+    ratio = jnp.exp(logp - old_logp)
+
+    if cfg.normalize_advantage:
+        advantages = ((advantages - advantages.mean())
+                      / (advantages.std() + 1e-8))
+
+    unclipped = advantages * ratio
+    clipped = advantages * jnp.clip(ratio, 1 - cfg.clip_range,
+                                    1 + cfg.clip_range)
+    policy_loss = -jnp.minimum(unclipped, clipped).mean()
+    value_loss = jnp.mean((returns - value) ** 2)
+    entropy = gaussian_entropy(log_std).mean()
+    loss = (policy_loss + cfg.ent_coef * (-entropy)
+            + cfg.vf_coef * value_loss)
+    aux = {
+        "policy_loss": policy_loss,
+        "value_loss": value_loss,
+        "entropy": entropy,
+        "approx_kl": jnp.mean((ratio - 1) - jnp.log(ratio)),
+        "clip_fraction": jnp.mean(
+            (jnp.abs(ratio - 1) > cfg.clip_range).astype(jnp.float32)),
+    }
+    return loss, aux
+
+
+# ----------------------------------------------------------------- update
+
+def ppo_update(model: ActorCritic, tx: optax.GradientTransformation,
+               params, opt_state, batch: RolloutBatch,
+               advantages: jax.Array, returns: jax.Array, key: jax.Array,
+               cfg: PPOConfig):
+    """n_epochs x n_minibatches of clipped-PPO Adam steps (SB3 PPO.train)."""
+    N = cfg.batch_size
+    flat = jax.tree.map(lambda x: x.reshape((N,) + x.shape[2:]),
+                        (batch.obs, batch.actions, batch.log_probs,
+                         batch.values, advantages, returns))
+
+    grad_fn = jax.value_and_grad(ppo_loss, has_aux=True)
+
+    def epoch_body(carry, k_epoch):
+        params, opt_state = carry
+        perm = jax.random.permutation(k_epoch, N)
+        shuffled = jax.tree.map(lambda x: x[perm], flat)
+        mbs = jax.tree.map(
+            lambda x: x.reshape((cfg.n_minibatches, cfg.minibatch_size)
+                                + x.shape[1:]), shuffled)
+
+        def mb_body(carry, mb):
+            params, opt_state = carry
+            (loss, aux), grads = grad_fn(params, model, mb, cfg)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            aux["loss"] = loss
+            return (params, opt_state), aux
+
+        (params, opt_state), aux = jax.lax.scan(mb_body, (params, opt_state), mbs)
+        return (params, opt_state), aux
+
+    keys = jax.random.split(key, cfg.n_epochs)
+    (params, opt_state), aux = jax.lax.scan(epoch_body, (params, opt_state), keys)
+    metrics = jax.tree.map(lambda x: x.mean(), aux)
+    return params, opt_state, metrics
+
+
+# ------------------------------------------------------------- train step
+
+def make_train_step(model: ActorCritic, cfg: PPOConfig,
+                    env_params: EnvParams) -> Callable:
+    """Returns jit-able train_step(TrainState) -> (TrainState, metrics):
+    one full PPO iteration (rollout + GAE + epochs of updates) on device."""
+    tx = make_optimizer(cfg)
+
+    def train_step(state: TrainState):
+        state, batch, last_value, env_metrics = collect_rollout(
+            model, state, cfg, env_params)
+        advantages, returns = compute_gae(
+            batch.rewards, batch.values, batch.dones, last_value,
+            cfg.gamma, cfg.gae_lambda)
+        key, k_update = jax.random.split(state.key)
+        params, opt_state, opt_metrics = ppo_update(
+            model, tx, state.params, state.opt_state, batch,
+            advantages, returns, k_update, cfg)
+        explained_var = 1.0 - (jnp.var(returns - batch.values)
+                               / (jnp.var(returns) + 1e-8))
+        state = state.replace(params=params, opt_state=opt_state, key=key)
+        metrics = {**env_metrics, **opt_metrics,
+                   "explained_variance": explained_var,
+                   "global_step": state.global_step}
+        return state, metrics
+
+    return train_step
+
+
+# -------------------------------------------------------------- evaluation
+
+def make_eval_fn(model: ActorCritic, cfg: PPOConfig, env_params: EnvParams,
+                 dtype=jnp.float32) -> Callable:
+    """Greedy (deterministic-mean) evaluation: EvalCallback equivalent
+    (training_main.py:31-35).  Runs cfg.eval_episodes envs for max_steps;
+    returns mean/std of the FIRST completed episode per env."""
+
+    n_ep = cfg.eval_episodes
+
+    def eval_fn(params, key):
+        env_state, obs = vector.reset_batch(key, n_ep, env_params, dtype)
+
+        def body(carry, _):
+            env_state, obs, ret, length, outcome, done_seen = carry
+            mean, _, _ = model.apply(params, obs)
+            a = jnp.clip(mean[..., 0], -1.0, 1.0)
+            env_state, out = vector.step_batch(env_state, a, env_params)
+            active = ~done_seen
+            ret = ret + jnp.where(active, out.reward, 0.0)
+            length = length + jnp.where(active, 1, 0)
+            outcome = jnp.where(active & out.done, out.outcome, outcome)
+            done_seen = done_seen | out.done
+            return (env_state, out.obs, ret, length, outcome, done_seen), None
+
+        init = (env_state, obs,
+                jnp.zeros(n_ep, dtype), jnp.zeros(n_ep, jnp.int32),
+                jnp.zeros(n_ep, jnp.int32), jnp.zeros(n_ep, bool))
+        (f_state, _, ret, length, outcome, done_seen), _ = jax.lax.scan(
+            body, init, None, length=env_params.max_steps)
+        return {
+            "eval_return_mean": ret.mean(),
+            "eval_return_std": ret.std(),
+            "eval_length_mean": length.astype(jnp.float32).mean(),
+            "eval_goal_rate": (outcome == 1).mean(dtype=jnp.float32),
+            "eval_collision_rate": (outcome == 2).mean(dtype=jnp.float32),
+            "eval_done_all": done_seen.all(),
+        }
+
+    return eval_fn

