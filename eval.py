@@ -1,0 +1,136 @@
+"""Greedy-policy evaluation driver (testing_main.py /
+checkpoint_testing_main.py rebuilt TPU-native).
+
+Loads a trained checkpoint (latest, best, or a specific step — the
+checkpoint_testing_main.py:142-151 use case), rolls N greedy episodes in
+lockstep on device, and writes the full telemetry CSV with the reference's
+exact schema (testing_main.py:113-138).
+
+Examples:
+    python eval.py --run runs/ppo/<run-name>                 # latest ckpt
+    python eval.py --run runs/ppo/<run-name> --best
+    python eval.py --run runs/ppo/<run-name> --step 524288   # checkpoint eval
+    python eval.py --run ... --episodes 100 --out runs/eval.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run", required=True,
+                   help="training run directory (contains checkpoints/)")
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step to load (default: latest)")
+    p.add_argument("--best", action="store_true",
+                   help="load the best-eval checkpoint")
+    p.add_argument("--episodes", type=int, default=100)    # TEST_EPISODES
+    p.add_argument("--out", default=None)
+    p.add_argument("--exact", action="store_true",
+                   help="float64 CPU stepping + Mersenne spawn stream")
+    p.add_argument("--skip-episodes", type=int, default=2)
+    p.add_argument("--seed", type=int, default=13)
+    # Must match the training run so the checkpoint restores: the env/opt
+    # state shapes depend on these.
+    p.add_argument("--n-envs", type=int, default=1)
+    p.add_argument("--n-steps", type=int, default=2048)
+    p.add_argument("--minibatch-size", type=int, default=64)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    if args.exact:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from acas2d_tpu.config import DEFAULT_PARAMS
+    from acas2d_tpu.envs import core, telemetry
+    from acas2d_tpu.models.actor_critic import ActorCritic
+    from acas2d_tpu.oracle import MersenneSpawner
+    from acas2d_tpu.ppo import learner
+    from acas2d_tpu.ppo.config import PPOConfig
+    from acas2d_tpu.utils import episode_csv
+    from acas2d_tpu.utils.checkpoint import CheckpointManager
+
+    P = DEFAULT_PARAMS
+    dtype = jnp.float64 if args.exact else jnp.float32
+    B, T = args.episodes, P.max_steps
+
+    cfg = PPOConfig(n_envs=args.n_envs, n_steps=args.n_steps,
+                    minibatch_size=args.minibatch_size)
+    model = ActorCritic()
+    template = learner.init_train_state(
+        jax.random.PRNGKey(0), model, cfg, P)
+    ckpt = CheckpointManager(os.path.join(args.run, "checkpoints"))
+    if args.best:
+        state = ckpt.restore_best(template)
+    else:
+        state = ckpt.restore(template, step=args.step)
+    params = state.params
+    print(f"loaded checkpoint at step {int(state.global_step)}",
+          file=sys.stderr)
+
+    spawner = MersenneSpawner(P, skip_episodes=args.skip_episodes)
+    inits = spawner.spawn_batch(B)
+    psi = np.array([i.player_psi for i in inits])
+    tx = np.stack([i.traffic_x for i in inits])
+    ty = np.stack([i.traffic_y for i in inits])
+    tv = np.stack([i.traffic_v for i in inits])
+    tpsi = np.stack([i.traffic_psi for i in inits])
+    nt = np.array([i.num_traffic for i in inits])
+
+    def policy(o):
+        mean, _, _ = model.apply(params, o.astype(jnp.float32))
+        return jnp.clip(mean[..., 0], -1.0, 1.0).astype(dtype)
+
+    @jax.jit
+    def run(psi, tx, ty, tv, tpsi, nt):
+        def one(psi, tx, ty, tv, tpsi, nt):
+            state, obs = core.reset_from(psi, tx, ty, tv, tpsi, nt, P, dtype)
+            init = telemetry.initial_telemetry(state, P)
+            _, tel = telemetry.rollout_telemetry_policy(state, obs, T, policy, P)
+            return init, tel
+        return jax.vmap(one)(psi, tx, ty, tv, tpsi, nt)
+
+    init, tel = jax.device_get(run(psi, tx, ty, tv, tpsi, nt))
+
+    episodes = []
+    for b in range(B):
+        tel_b = jax.tree.map(lambda x: x[b], tel)
+        init_b = {k: v[b] for k, v in init.items()}
+        done_idx = np.nonzero(np.asarray(tel_b.done))[0]
+        k = int(done_idx[0]) + 1 if done_idx.size else T
+        rec = episode_csv.episode_records(init_b, tel_b, k, int(nt[b]))
+        episodes.append(rec)
+        print(f"Episode {b+1:<3}: Time steps: {k-1:<7} - "
+              f"Outcome: {rec['Outcome']:<10} - "
+              f"Total Reward = {rec['Total Reward']}")
+
+    out = args.out or os.path.join(args.run, f"eval_{B}.csv")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    df = episode_csv.to_dataframe(episodes, episode_csv.FULL_COLUMNS)
+    df.to_csv(out, index=False)
+
+    rewards = [e["Total Reward"] for e in episodes]
+    outcomes = [e["Outcome"] for e in episodes]
+    print(f"\n{B} episodes | Goal {outcomes.count('Goal')} / "
+          f"Collision {outcomes.count('Collision')} / "
+          f"Timeout {outcomes.count('Timeout')} | "
+          f"mean reward {np.mean(rewards):.2f} +/- {np.std(rewards):.2f} | "
+          f"mean steps {np.mean([e['Time Steps'] for e in episodes]):.2f}",
+          file=sys.stderr)
+    print(f"wrote {out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

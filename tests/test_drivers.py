@@ -1,0 +1,116 @@
+"""Driver-level tests: baseline CSV regeneration, gym adapters, telemetry,
+rendering."""
+
+import ast
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acas2d_tpu.config import DEFAULT_PARAMS
+from acas2d_tpu.oracle import MersenneSpawner, OracleEnv
+
+P = DEFAULT_PARAMS
+REF_CSV = "/root/reference/gym_ACAS2D/models/logs/baseline_ACAS2D_PPO_11_100.csv"
+
+
+def test_baseline_driver_reproduces_reference_csv(tmp_path):
+    """baseline.py --exact reproduces the committed reference artifact
+    (outcomes/steps exact, trajectories <= 1e-9 px)."""
+    if not os.path.exists(REF_CSV):
+        pytest.skip("reference CSV unavailable")
+    import baseline
+    out = str(tmp_path / "b.csv")
+    baseline.main(["--episodes", "20", "--out", out])
+    ref = pd.read_csv(REF_CSV)
+    new = pd.read_csv(out)
+    for i in range(20):
+        assert ref.loc[i, "Outcome"] == new.loc[i, "Outcome"]
+        assert ref.loc[i, "Time Steps"] == new.loc[i, "Time Steps"]
+        rp = np.array(ast.literal_eval(ref.loc[i, "Path"]))
+        np_ = np.array(ast.literal_eval(new.loc[i, "Path"]))
+        assert rp.shape == np_.shape
+        np.testing.assert_allclose(np_, rp, atol=1e-9, rtol=0)
+        assert abs(ref.loc[i, "Total Reward"] - new.loc[i, "Total Reward"]) < 1e-8
+
+
+def test_telemetry_matches_oracle_records():
+    """step_with_telemetry reproduces the reference's record-phase quirks
+    (traffic recorded pre-update, d_sep mid-phase)."""
+    from acas2d_tpu.envs import core, telemetry
+
+    sp_o = MersenneSpawner(P, skip_episodes=2)
+    sp_j = MersenneSpawner(P, skip_episodes=2)
+    o = OracleEnv(P, spawner=sp_o)
+    o.reset()
+    i = sp_j.spawn()
+    state, obs = core.reset_from(i.player_psi, i.traffic_x, i.traffic_y,
+                                 i.traffic_v, i.traffic_psi, i.num_traffic, P)
+    T = 100
+    acts = np.zeros(T)
+    for t in range(T):
+        o.step(np.array([0.0]))
+    _, tel = jax.jit(lambda s, a: telemetry.rollout_telemetry(s, a, P))(
+        state, jnp.asarray(acts))
+    # player path (post-update) and traffic path (pre-update)
+    opath = np.array(o.path)               # includes t=0 entry
+    np.testing.assert_allclose(np.asarray(tel.px), opath[1:, 0], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(tel.py), opath[1:, 1], atol=1e-9)
+    otp = np.array(o.traffic_paths[0])     # t=0 entry + pre-update records
+    np.testing.assert_allclose(np.asarray(tel.tx[:, 0]), otp[1:, 0], atol=1e-9)
+
+
+def test_legacy_gym_env_matches_oracle():
+    from acas2d_tpu.envs.gym_compat import LegacyACAS2DEnv
+
+    env = LegacyACAS2DEnv(P)
+    # LegacyEnv holds its own seed-13 stream from episode 0; mirror that.
+    o = OracleEnv(P, spawner=MersenneSpawner(P, skip_episodes=0))
+    obs_e = env.reset()
+    obs_o = o.reset()
+    np.testing.assert_allclose(obs_e, obs_o, atol=1e-12)
+    done = False
+    t = 0
+    while not done and t < P.max_steps:
+        obs_e, r_e, done, info = env.step(np.array([0.3]))
+        obs_o, r_o, done_o, _ = o.step(np.array([0.3]))
+        assert done == done_o
+        np.testing.assert_allclose(r_e, r_o, atol=1e-9)
+        t += 1
+    assert done and env.outcome == o.state.outcome
+    assert info == {}
+
+
+def test_gymnasium_env_api():
+    gymnasium = pytest.importorskip("gymnasium")
+    import acas2d_tpu.envs.gym_compat  # noqa: F401  (registers ACAS2D-v0)
+
+    env = gymnasium.make("ACAS2D-v0")
+    obs, info = env.reset(seed=13)
+    assert env.observation_space.contains(obs)
+    total = 0.0
+    for _ in range(P.max_steps):
+        obs, r, term, trunc, info = env.step(np.array([0.0]))
+        total += r
+        if term or trunc:
+            break
+    assert term or trunc
+    assert info["outcome"] in (1, 2, 3)
+
+
+def test_render_outputs(tmp_path):
+    pytest.importorskip("matplotlib")
+    from acas2d_tpu import render
+
+    path = [(48 + 2 * t, 500.0) for t in range(50)]
+    tpath = [[(1552 - 2 * t, 48 + t) for t in range(50)]]
+    png = render.plot_episode(path, tpath, P, outcome=1, title="t",
+                              out_png=str(tmp_path / "ep.png"))
+    assert os.path.exists(png) and os.path.getsize(png) > 1000
+    frame = render.render_frame(100.0, 500.0, 0.0, np.array([1552.0]),
+                                np.array([48.0]), 1, P)
+    assert frame.ndim == 3 and frame.shape[2] == 3
