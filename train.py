@@ -50,6 +50,10 @@ def parse_args(argv=None):
     p.add_argument("--eval-every", type=int, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    p.add_argument("--platform", choices=["default", "cpu"], default="default",
+                   help="force the CPU backend (useful for the tiny 1-env "
+                        "reference config, which is latency- not "
+                        "throughput-bound)")
     return p.parse_args(argv)
 
 
@@ -79,6 +83,8 @@ def build_config(args) -> PPOConfig:
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     mesh_lib.multihost_init()
     cfg = build_config(args)
     env_params = DEFAULT_PARAMS
