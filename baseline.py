@@ -28,8 +28,13 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--episodes", type=int, default=100)   # TEST_EPISODES
-    p.add_argument("--policy", choices=["zero", "mod3", "cosine"],
+    p.add_argument("--policy", choices=["zero", "mod3", "cosine", "replay"],
                    default="zero")
+    p.add_argument("--actions-file", default=None,
+                   help="with --policy replay: .npy or text file of actions "
+                        "in [-1,1], replayed per episode (padded with its "
+                        "last value) — the gym_main.py recorded-actions "
+                        "use case (gym_main.py:14,38-41)")
     p.add_argument("--out", default="runs/baseline.csv")
     p.add_argument("--full-telemetry", action="store_true",
                    help="write all testing_main.py columns, not just the "
@@ -79,6 +84,16 @@ def main(argv=None):
         actions = np.zeros((T, B))
     elif args.policy == "mod3":
         actions = np.broadcast_to((ep_idx % 3) - 1, (T, B)).astype(float)
+    elif args.policy == "replay":
+        if not args.actions_file:
+            raise SystemExit("--policy replay requires --actions-file")
+        if args.actions_file.endswith(".npy"):
+            seq = np.load(args.actions_file).reshape(-1)
+        else:
+            seq = np.loadtxt(args.actions_file).reshape(-1)
+        padded = np.full(T, seq[-1], dtype=float)
+        padded[:min(T, len(seq))] = seq[:T]
+        actions = np.broadcast_to(padded[:, None], (T, B)).astype(float)
     else:
         actions = np.broadcast_to(
             np.cos(((t_idx % 360) / 360) * 2 * np.pi), (T, B)).astype(float)
