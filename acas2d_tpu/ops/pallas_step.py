@@ -1,0 +1,299 @@
+"""Fused whole-rollout Pallas TPU kernel for the batched autoreset env.
+
+The XLA path (envs/vector.py) runs one fused program per scan iteration,
+round-tripping the (B,)-state through the scan carry each step.  This kernel
+goes further: each grid program loads a (8,128)-lane block of envs into VMEM
+ONCE, runs the full T-step autoreset rollout in an in-kernel fori_loop
+(state never touches HBM between steps), and writes back the final state
+plus per-env reward/episode statistics.  Random actions and respawn draws
+come from an in-kernel counter-based hash RNG (triple32 finalizer over
+(seed, grid program, lane, step, salt)) — stateless, identical on the CPU
+interpreter and on TPU, and cheaper than a stateful PRNG.
+
+Scope: the pure-environment hot path (BASELINE.json config 3 — the
+env-steps/s headline).  The PPO rollout interleaves a policy network, so
+training keeps the XLA path.  Specializations vs the general engine:
+  * max_traffic == 1 (the reference's only exercised configuration);
+  * traffic heading is constant within an episode (a_lat == 0,
+    aircraft.py:20-22), so its direction cosines are episode constants
+    cached in registers instead of recomputed per step;
+  * float32; angle conversion constant-folds (psi * pi/180);
+  * the fresh-spawn observation is not materialized (the stepping workload
+    does not consume observations — same dead-code shape XLA sees in the
+    bench's scan).
+Environment *semantics* (geometry, rewards, termination order, bug_compat
+quirks kinematics.py:47,57,67,74) are identical; tests compare against the
+jnp engine under forced-zero actions and long-horizon outcome statistics.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from acas2d_tpu.config import EnvParams, DEFAULT_PARAMS
+
+LANES = 8 * 128          # envs per grid program
+DEG2RAD = math.pi / 180.0
+TWO_PI = 2.0 * math.pi
+
+
+def _triple32(x):
+    """Excellent-avalanche 32-bit integer finalizer (public triple32)."""
+    x = x ^ (x >> 17)
+    x = x * jnp.uint32(0xED5AD4BB)
+    x = x ^ (x >> 11)
+    x = x * jnp.uint32(0xAC4C1B51)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x31848BAB)
+    x = x ^ (x >> 14)
+    return x
+
+
+def _u01_hash(base, step, salt):
+    """Counter-based float32 uniform in [0,1) per lane: hash of
+    (base=seed+program+lane, step, salt), top 24 bits."""
+    x = base + jnp.uint32(step * jnp.uint32(0x9E3779B9)) + jnp.uint32(
+        salt * jnp.uint32(0x85EBCA6B))
+    bits = _triple32(x)
+    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _mod360(x):
+    return x - 360.0 * jnp.floor(x * jnp.float32(1.0 / 360.0))
+
+
+def _mod2pi(x):
+    return x - TWO_PI * jnp.floor(x / TWO_PI)
+
+
+def fused_rollout_kernel(seed_ref,                       # SMEM (1,1) int32
+                         px0, py0, psi0, tx0, ty0, tv0, tpsi0, steps0, tot0,
+                         pxo, pyo, psio, txo, tyo, tvo, tpsio, stepso, toto,
+                         rsum, ep_count, goal_count, coll_count,
+                         *, T: int, p: EnvParams, zero_actions: bool):
+    """One grid program: full T-step autoreset rollout for LANES envs."""
+    lane = (jax.lax.broadcasted_iota(jnp.uint32, (8, 128), 0) * 128
+            + jax.lax.broadcasted_iota(jnp.uint32, (8, 128), 1))
+    rng_base = (seed_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                + jnp.uint32(pl.program_id(0)) * jnp.uint32(0xC2B2AE35)
+                + lane * jnp.uint32(0x27D4EB2F))
+
+    dt = jnp.float32(p.dt)
+    v = jnp.float32(p.airspeed)
+    acc = jnp.float32(p.acc_lat_limit)
+    gx = jnp.float32(p.goal_x)
+    gy = jnp.float32(p.goal_y)
+    inv_max_steps = jnp.float32(1.0 / p.max_steps)
+
+    bearing = jnp.float32(
+        (math.degrees(math.atan2(p.goal_y - p.player_y0,
+                                 p.goal_x - p.player_x0) % TWO_PI)))
+
+    def spawn(rb_psi, rb_sd, rb_tpsi):
+        """In-kernel respawn (game.py:84-106 distributions)."""
+        psi = _mod360(bearing +
+                      (rb_psi * 2.0 - 1.0) * jnp.float32(
+                          p.player_initial_heading_lim))
+        starts_down = (rb_sd < 0.5).astype(jnp.float32)
+        t_y = jnp.float32(p.collision_radius) + starts_down * jnp.float32(
+            p.height - 2 * p.collision_radius)
+        t_psi = _mod360(145.0 + starts_down * 70.0 +
+                        (rb_tpsi * 2.0 - 1.0) * jnp.float32(
+                            p.traffic_initial_heading_lim))
+        return (jnp.full_like(psi, p.player_x0),
+                jnp.full_like(psi, p.player_y0),
+                psi,
+                jnp.full_like(psi, p.width - p.collision_radius),
+                t_y,
+                jnp.full_like(psi, p.airspeed),
+                t_psi)
+
+    def body(i, carry):
+        (px, py, psi, tx, ty, tv, tpsi, tcos, tsin,
+         steps, tot, rs, ec, gc, cc) = carry
+
+        # ---- random action in [-1, 1] (or forced zero for parity tests)
+        if zero_actions:
+            a_lat = jnp.zeros((8, 128), jnp.float32)
+        else:
+            a = _u01_hash(rng_base, i, 0) * 2.0 - 1.0
+            a_lat = a * acc
+
+        # ---- integrate player (aircraft.py:16-26; heading in degrees)
+        psi = _mod360(psi + a_lat / v)          # net change a_lat/v degrees
+        pr = psi * DEG2RAD
+        cp = jnp.cos(pr)
+        sp = jnp.sin(pr)
+        px = px + v * cp * dt
+        py = py + v * sp * dt
+        # ---- integrate traffic (straight; direction cosines cached)
+        tx = tx + tv * tcos * dt
+        ty = ty + tv * tsin * dt
+
+        steps = steps + 1
+
+        # ---- shared geometry (game.py:162-191, kinematics.py)
+        dxg = gx - px
+        dyg = gy - py
+        d_goal = jnp.sqrt(dxg * dxg + dyg * dyg)
+        h_goal_rad = _mod2pi(jnp.arctan2(dyg, dxg))
+        h_goal_deg = h_goal_rad * jnp.float32(1.0 / DEG2RAD)
+        d_dev = d_goal * jnp.sin(h_goal_rad)
+
+        dxt = tx - px
+        dyt = ty - py
+        d_sep = jnp.sqrt(dxt * dxt + dyt * dyt)
+
+        # signed closest-approach distance (kinematics.py:40-49, arctan quirk)
+        v12x = v * cp - tv * tcos
+        v12y = v * sp - tv * tsin
+        h_rel = jnp.arctan(v12y / v12x)
+        a_rel = _mod2pi(jnp.arctan2(dyt, dxt))
+        d_cpa = d_sep * jnp.sin(a_rel - h_rel)
+
+        # closing speed via one-step lookahead (kinematics.py:52-79,
+        # incl. the missing /dt and the v_air typo on AC2's y-velocity)
+        psi1l = (psi + (a_lat / v) * dt) * DEG2RAD
+        c1 = jnp.cos(psi1l)
+        s1 = jnp.sin(psi1l)
+        vx1 = v * c1 * dt
+        vy1 = v * s1 * dt
+        nx1 = px + vx1
+        ny1 = py + vy1
+        vx2 = tv * tcos * dt
+        vy2 = v * tsin * dt                     # bug_compat: v (player) not tv
+        nx2 = tx + vx2
+        ny2 = ty + tv * tsin * dt
+        dpx = nx1 - nx2
+        dpy = ny1 - ny2
+        nd = jnp.sqrt(dpx * dpx + dpy * dpy)
+        v_closing = (((vx1 - vx2) * dpx + (vy1 - vy2) * dpy) / nd) / dt
+
+        # ---- shaped reward (rewards.py:5-60)
+        dh = jnp.abs(psi - h_goal_deg)
+        dh = jnp.minimum(dh, 360.0 - dh)
+        r_head = (1.0 - dh * jnp.float32(1.0 / 180.0)) ** 4
+        r_cpa = jnp.minimum(1.0, (d_cpa * jnp.float32(
+            1.0 / p.safe_distance)) ** 4)
+        dev_frac = jnp.abs(d_dev) * jnp.float32(1.0 / p.d_dev_max_reward)
+        r_dev = jnp.where(dev_frac > 1.0, 0.0,
+                          jnp.sqrt(jnp.maximum(0.0, 1.0 - dev_frac)))
+        r_goal = jnp.minimum(1.0, (1.0 - d_goal * jnp.float32(
+            1.0 / p.d_goal_max_reward)) ** 4)
+        r_step = r_head * jnp.where(v_closing <= 0, r_cpa * r_dev, r_goal)
+
+        collided = d_sep < jnp.float32(2 * p.collision_radius)
+        at_goal = d_goal < jnp.float32(p.goal_radius)
+        tdf = 1.0 - steps.astype(jnp.float32) * inv_max_steps
+        reward = (r_step * tdf
+                  + jnp.where(collided, jnp.float32(p.reward_collision), 0.0)
+                  + jnp.where(at_goal, jnp.float32(p.reward_goal), 0.0))
+        tot = tot + reward
+        rs = rs + reward
+
+        # ---- termination: timeout > collision > goal (game.py:294-314)
+        done = (steps > p.max_steps) | collided | at_goal
+        ec = ec + done.astype(jnp.int32)
+        gc = gc + (at_goal & ~collided & (steps <= p.max_steps)).astype(jnp.int32)
+        cc = cc + (collided & (steps <= p.max_steps)).astype(jnp.int32)
+
+        # ---- masked in-graph respawn
+        (fpx, fpy, fpsi, ftx, fty, ftv, ftpsi) = spawn(
+            _u01_hash(rng_base, i, 1), _u01_hash(rng_base, i, 2),
+            _u01_hash(rng_base, i, 3))
+        ftr = ftpsi * DEG2RAD
+        ftcos = jnp.cos(ftr)
+        ftsin = jnp.sin(ftr)
+        px = jnp.where(done, fpx, px)
+        py = jnp.where(done, fpy, py)
+        psi = jnp.where(done, fpsi, psi)
+        tx = jnp.where(done, ftx, tx)
+        ty = jnp.where(done, fty, ty)
+        tv = jnp.where(done, ftv, tv)
+        tpsi = jnp.where(done, ftpsi, tpsi)
+        tcos = jnp.where(done, ftcos, tcos)
+        tsin = jnp.where(done, ftsin, tsin)
+        # reset: observe() leaves steps == 1 (game.py:197)
+        steps = jnp.where(done, 1, steps)
+        tot = jnp.where(done, 0.0, tot)
+        return (px, py, psi, tx, ty, tv, tpsi, tcos, tsin,
+                steps, tot, rs, ec, gc, cc)
+
+    tr = tpsi0[0] * DEG2RAD
+    init = (px0[0], py0[0], psi0[0], tx0[0], ty0[0], tv0[0], tpsi0[0],
+            jnp.cos(tr), jnp.sin(tr), steps0[0], tot0[0],
+            jnp.zeros((8, 128), jnp.float32),
+            jnp.zeros((8, 128), jnp.int32),
+            jnp.zeros((8, 128), jnp.int32),
+            jnp.zeros((8, 128), jnp.int32))
+    (px, py, psi, tx, ty, tv, tpsi, _, _, steps, tot, rs, ec, gc, cc) = (
+        jax.lax.fori_loop(0, T, body, init))
+    pxo[0] = px
+    pyo[0] = py
+    psio[0] = psi
+    txo[0] = tx
+    tyo[0] = ty
+    tvo[0] = tv
+    tpsio[0] = tpsi
+    stepso[0] = steps
+    toto[0] = tot
+    rsum[0] = rs
+    ep_count[0] = ec
+    goal_count[0] = gc
+    coll_count[0] = cc
+
+
+def fused_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
+                  seed: int, T: int,
+                  params: EnvParams = DEFAULT_PARAMS,
+                  interpret: bool = False,
+                  zero_actions: bool = False):
+    """Run T autoreset steps with in-kernel random actions.
+
+    Inputs are flat (B,) f32 state arrays (traffic arrays squeezed:
+    max_traffic == 1) and int32 steps.  Returns the final state plus per-env
+    (reward_sum, episodes_ended, goals, collisions).
+    """
+    assert params.max_traffic == 1, "pallas path specializes max_traffic=1"
+    B = px.shape[0]
+    assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
+    G = B // LANES
+
+    def shape(x, dtype):
+        return x.reshape(G, 8, 128).astype(dtype)
+
+    f32 = jnp.float32
+    ins = [shape(px, f32), shape(py, f32), shape(psi, f32),
+           shape(tx, f32), shape(ty, f32), shape(tv, f32), shape(tpsi, f32),
+           shape(steps, jnp.int32), shape(total_reward, f32)]
+    blk = pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out_shapes = ([jax.ShapeDtypeStruct((G, 8, 128), f32)] * 7
+                  + [jax.ShapeDtypeStruct((G, 8, 128), jnp.int32)]
+                  + [jax.ShapeDtypeStruct((G, 8, 128), f32)] * 2
+                  + [jax.ShapeDtypeStruct((G, 8, 128), jnp.int32)] * 3)
+
+    kernel = functools.partial(fused_rollout_kernel, T=T, p=params,
+                               zero_actions=zero_actions)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)] + [blk] * 9,
+        out_specs=[blk] * 13,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(jnp.array([[seed]], jnp.int32), *ins)
+
+    flat = [o.reshape(B) for o in outs]
+    state = dict(px=flat[0], py=flat[1], psi=flat[2], tx=flat[3], ty=flat[4],
+                 tv=flat[5], tpsi=flat[6], steps=flat[7], total_reward=flat[8])
+    stats = dict(reward_sum=flat[9], episodes=flat[10], goals=flat[11],
+                 collisions=flat[12])
+    return state, stats
