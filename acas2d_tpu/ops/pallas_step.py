@@ -62,7 +62,45 @@ def _u01_hash(base, step, salt):
     x = base + jnp.uint32(step * jnp.uint32(0x9E3779B9)) + jnp.uint32(
         salt * jnp.uint32(0x85EBCA6B))
     bits = _triple32(x)
-    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    # Mosaic lacks a direct uint32->f32 cast; (bits >> 8) < 2^24 so the
+    # int32 round trip is value-preserving.
+    return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 24))
+
+
+def _atan(x):
+    """Branchless f32 arctan (Mosaic has no atan primitive).
+
+    Cephes-style two-interval argument reduction + odd minimax polynomial;
+    max abs error ~3e-7 rad — below the engine's f32 tolerance.
+    """
+    ax = jnp.abs(x)
+    big = ax > 2.414213562373095      # tan(3*pi/8)
+    mid = ax > 0.4142135623730950     # tan(pi/8)
+    safe = jnp.maximum(ax, jnp.float32(1e-30))
+    xr = jnp.where(big, -1.0 / safe,
+                   jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    off = jnp.where(big, jnp.float32(math.pi / 2),
+                    jnp.where(mid, jnp.float32(math.pi / 4), 0.0))
+    z = xr * xr
+    y = (((jnp.float32(8.05374449538e-2) * z
+           - jnp.float32(1.38776856032e-1)) * z
+          + jnp.float32(1.99777106478e-1)) * z
+         - jnp.float32(3.33329491539e-1)) * z * xr + xr
+    return jnp.sign(x) * (off + y)
+
+
+def _atan2(y, x):
+    """f32 atan2 from _atan with quadrant fixup (range (-pi, pi])."""
+    safe_x = jnp.where(x == 0.0, jnp.float32(1.0), x)
+    base = _atan(y / safe_x)
+    pi = jnp.float32(math.pi)
+    res = jnp.where(x > 0.0, base,
+                    jnp.where(y >= 0.0, base + pi, base - pi))
+    return jnp.where(x == 0.0,
+                     jnp.where(y > 0.0, pi / 2,
+                               jnp.where(y < 0.0, -pi / 2, 0.0)),
+                     res)
 
 
 def _mod360(x):
@@ -143,7 +181,7 @@ def fused_rollout_kernel(seed_ref,                       # SMEM (1,1) int32
         dxg = gx - px
         dyg = gy - py
         d_goal = jnp.sqrt(dxg * dxg + dyg * dyg)
-        h_goal_rad = _mod2pi(jnp.arctan2(dyg, dxg))
+        h_goal_rad = _mod2pi(_atan2(dyg, dxg))
         h_goal_deg = h_goal_rad * jnp.float32(1.0 / DEG2RAD)
         d_dev = d_goal * jnp.sin(h_goal_rad)
 
@@ -154,8 +192,8 @@ def fused_rollout_kernel(seed_ref,                       # SMEM (1,1) int32
         # signed closest-approach distance (kinematics.py:40-49, arctan quirk)
         v12x = v * cp - tv * tcos
         v12y = v * sp - tv * tsin
-        h_rel = jnp.arctan(v12y / v12x)
-        a_rel = _mod2pi(jnp.arctan2(dyt, dxt))
+        h_rel = _atan(v12y / jnp.where(v12x == 0.0, jnp.float32(1e-30), v12x))
+        a_rel = _mod2pi(_atan2(dyt, dxt))
         d_cpa = d_sep * jnp.sin(a_rel - h_rel)
 
         # closing speed via one-step lookahead (kinematics.py:52-79,

@@ -32,6 +32,36 @@ from acas2d_tpu.envs import vector
 REFERENCE_STEPS_PER_S = 100.0   # settings.py:17 FPS cap
 
 
+def measure_pallas(B: int = 262144, T: int = 256, iters: int = 8,
+                   repeats: int = 3) -> float:
+    """Fused whole-rollout Pallas kernel (ops/pallas_step.py): state stays
+    in VMEM for all T steps; ~8x the XLA-scan path on v5e."""
+    from acas2d_tpu.ops.pallas_step import fused_rollout
+
+    P = DEFAULT_PARAMS
+    key = jax.random.PRNGKey(0)
+    s, _ = jax.jit(lambda k: vector.reset_batch(k, B, P, jnp.float32))(key)
+    args = (s.px, s.py, s.ppsi, s.tx[:, 0], s.ty[:, 0], s.tv[:, 0],
+            s.tpsi[:, 0], s.steps, s.total_reward)
+    run = jax.jit(lambda *a: fused_rollout(*a, seed=7, T=T, params=P),
+                  donate_argnums=tuple(range(9)))
+    keys = ("px", "py", "psi", "tx", "ty", "tv", "tpsi", "steps",
+            "total_reward")
+    st, stats = run(*args)
+    assert np.isfinite(np.asarray(stats["reward_sum"])).all()
+    args = tuple(st[k] for k in keys)
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, stats = run(*args)
+            args = tuple(st[k] for k in keys)
+        np.asarray(stats["reward_sum"])   # host transfer = sync barrier
+        dt = (time.perf_counter() - t0) / iters
+        best = max(best, B * T / dt)
+    return best
+
+
 def measure(B: int = 262144, T: int = 256, iters: int = 8,
             repeats: int = 3) -> float:
     P = DEFAULT_PARAMS
@@ -68,10 +98,17 @@ def measure(B: int = 262144, T: int = 256, iters: int = 8,
 
 def main():
     n_dev = jax.device_count()
-    sps = measure()
+    try:
+        sps = measure_pallas()
+        path = "pallas fused rollout"
+    except Exception as e:                         # no TPU / lowering gap
+        print(f"pallas path unavailable ({type(e).__name__}), "
+              "falling back to XLA scan", file=sys.stderr)
+        sps = measure()
+        path = "XLA vmap+scan"
     per_chip = sps / n_dev
     print(json.dumps({
-        "metric": "env-steps/s per chip (batched ACAS-2D autoreset step)",
+        "metric": f"env-steps/s per chip (batched ACAS-2D autoreset, {path})",
         "value": round(per_chip, 1),
         "unit": "env-steps/s/chip",
         "vs_baseline": round(per_chip / REFERENCE_STEPS_PER_S, 1),

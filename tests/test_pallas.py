@@ -1,0 +1,91 @@
+"""Pallas fused-rollout kernel vs the jnp engine (interpret mode on CPU).
+
+The kernel (ops/pallas_step.py) reimplements the full autoreset step —
+integration, geometry incl. the bug_compat quirks (kinematics.py:47,57,67,74),
+shaped reward (rewards.py:5-60), termination order (game.py:294-314) — with
+in-kernel transcendental approximations.  Under forced-zero actions from
+identical initial states the trajectory must match the reference-parity jnp
+engine to f32 accumulation tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from acas2d_tpu.config import DEFAULT_PARAMS
+from acas2d_tpu.envs import vector
+from acas2d_tpu.ops import pallas_step
+
+P = DEFAULT_PARAMS
+B = pallas_step.LANES          # one grid program
+T = 64                         # < first possible termination under a=0
+
+
+@pytest.fixture(scope="module")
+def initial_states():
+    s, _ = jax.jit(
+        lambda k: vector.reset_batch(k, B, P, jnp.float32))(
+            jax.random.PRNGKey(42))
+    return s
+
+
+def _run_jnp(s, T):
+    def body(st, _):
+        st, out = vector.step_autoreset_batch(
+            st, jnp.zeros((B,), jnp.float32), P)
+        return st, out.reward
+    return jax.lax.scan(body, s, None, length=T)
+
+
+def test_fused_rollout_matches_jnp_engine(initial_states):
+    s = initial_states
+    stj, rj = jax.jit(lambda s: _run_jnp(s, T))(s)
+    stp, stats = pallas_step.fused_rollout(
+        s.px, s.py, s.ppsi, s.tx[:, 0], s.ty[:, 0], s.tv[:, 0],
+        s.tpsi[:, 0], s.steps, s.total_reward,
+        seed=7, T=T, params=P, interpret=True, zero_actions=True)
+
+    np.testing.assert_array_equal(np.asarray(stj.steps),
+                                  np.asarray(stp["steps"]))
+    for name, a, b in [("px", stj.px, stp["px"]), ("py", stj.py, stp["py"]),
+                       ("psi", stj.ppsi, stp["psi"]),
+                       ("tx", stj.tx[:, 0], stp["tx"]),
+                       ("ty", stj.ty[:, 0], stp["ty"])]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-2, err_msg=name)
+    # per-step reward error is bounded by the atan approximation (~3e-7 rad)
+    np.testing.assert_allclose(np.asarray(rj.sum(0)),
+                               np.asarray(stats["reward_sum"]),
+                               rtol=2e-3, atol=2e-3)
+    # no terminations inside the window
+    assert int(np.asarray(stats["episodes"]).sum()) == 0
+
+
+def test_fused_rollout_atan_helpers():
+    xs = jnp.asarray(np.linspace(-50, 50, 4001), jnp.float32)
+    np.testing.assert_allclose(np.asarray(pallas_step._atan(xs)),
+                               np.arctan(np.asarray(xs)), atol=5e-7)
+    ys = jnp.asarray(np.random.default_rng(0).normal(size=512), jnp.float32)
+    xs = jnp.asarray(np.random.default_rng(1).normal(size=512), jnp.float32)
+    np.testing.assert_allclose(np.asarray(pallas_step._atan2(ys, xs)),
+                               np.arctan2(np.asarray(ys), np.asarray(xs)),
+                               atol=1e-6)
+
+
+def test_fused_rollout_respawn_statistics():
+    """Long random-action rollout: episodes end and respawn in-kernel;
+    outcome mix must be sane (every episode is goal, collision or timeout)."""
+    s, _ = jax.jit(
+        lambda k: vector.reset_batch(k, B, P, jnp.float32))(
+            jax.random.PRNGKey(3))
+    _, stats = pallas_step.fused_rollout(
+        s.px, s.py, s.ppsi, s.tx[:, 0], s.ty[:, 0], s.tv[:, 0],
+        s.tpsi[:, 0], s.steps, s.total_reward,
+        seed=11, T=1100, params=P, interpret=True)
+    ep = int(np.asarray(stats["episodes"]).sum())
+    goals = int(np.asarray(stats["goals"]).sum())
+    colls = int(np.asarray(stats["collisions"]).sum())
+    assert ep > 0
+    assert 0 <= goals + colls <= ep
+    assert np.isfinite(np.asarray(stats["reward_sum"])).all()
