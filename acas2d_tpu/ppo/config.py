@@ -35,6 +35,10 @@ class PPOConfig:
     learning_rate: float = 3e-4
     adam_eps: float = 1e-5
     normalize_advantage: bool = True
+    # Linear LR decay to 0 over the run (SB3 exposes this as
+    # learning_rate=linear_schedule; the reference kept it constant).
+    # Large-batch runs converge cleaner with it on.
+    anneal_lr: bool = False
 
     seed: int = 13                   # settings.py:28
 

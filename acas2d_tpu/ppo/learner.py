@@ -59,9 +59,14 @@ class TrainState:
 
 
 def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+    if cfg.anneal_lr:
+        total_updates = cfg.n_iterations * cfg.n_epochs * cfg.n_minibatches
+        lr = optax.linear_schedule(cfg.learning_rate, 0.0, total_updates)
+    else:
+        lr = cfg.learning_rate
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adam(cfg.learning_rate, eps=cfg.adam_eps))
+        optax.adam(lr, eps=cfg.adam_eps))
 
 
 def init_train_state(key: jax.Array, model: ActorCritic, cfg: PPOConfig,

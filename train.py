@@ -31,6 +31,7 @@ from acas2d_tpu.ppo import learner
 from acas2d_tpu.ppo.config import PPOConfig, tpu_default
 from acas2d_tpu.utils.checkpoint import CheckpointManager
 from acas2d_tpu.utils.logging import MetricsLogger
+from acas2d_tpu.utils import profiling
 
 
 def parse_args(argv=None):
@@ -42,6 +43,9 @@ def parse_args(argv=None):
     p.add_argument("--minibatch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--n-epochs", type=int, default=None)
+    p.add_argument("--ent-coef", type=float, default=None)
+    p.add_argument("--anneal-lr", action="store_true",
+                   help="linear LR decay to 0 over the run")
     p.add_argument("--seed", type=int, default=13)
     p.add_argument("--out-dir", default="runs/ppo")
     p.add_argument("--run-name", default=None)
@@ -49,6 +53,10 @@ def parse_args(argv=None):
                    help="global steps between checkpoints (reference: 32768)")
     p.add_argument("--eval-every", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="write a jax.profiler (TensorBoard/xprof) trace of "
+                        "iterations 2-4 to <run>/trace and report per-phase "
+                        "timers")
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
     p.add_argument("--platform", choices=["default", "cpu"], default="default",
                    help="force the CPU backend (useful for the tiny 1-env "
@@ -72,6 +80,10 @@ def build_config(args) -> PPOConfig:
         overrides["learning_rate"] = args.lr
     if args.n_epochs is not None:
         overrides["n_epochs"] = args.n_epochs
+    if args.ent_coef is not None:
+        overrides["ent_coef"] = args.ent_coef
+    if args.anneal_lr:
+        overrides["anneal_lr"] = True
     if args.eval_every is not None:
         overrides["eval_every_steps"] = args.eval_every
     overrides["seed"] = args.seed
@@ -117,33 +129,54 @@ def main(argv=None):
                          donate_argnums=(0,))
     eval_fn = jax.jit(learner.make_eval_fn(model, cfg, env_params, dtype))
 
+    timers = profiling.PhaseTimers()
     steps_per_iter = cfg.batch_size
     next_eval = 0
     next_ckpt = 0
+    it = 0
+    trace_active = False
     eval_key = jax.random.PRNGKey(cfg.seed + 1)
     t_start = time.time()
     try:
         while int(state.global_step) < cfg.total_timesteps:
+            # trace iterations 2-4 (skip the compile-heavy first one)
+            if args.profile and it == 1:
+                jax.profiler.start_trace(f"{args.out_dir}/{run_name}/trace")
+                trace_active = True
             t0 = time.time()
-            state, metrics = train_step(state)
-            metrics = jax.device_get(metrics)
+            with timers("train_step"):
+                state, metrics = train_step(state)
+                metrics = jax.device_get(metrics)   # sync barrier
             dt = time.time() - t0
+            if args.profile and it == 3:
+                jax.profiler.stop_trace()
+                trace_active = False
+            it += 1
             gstep = int(metrics["global_step"])
             metrics["steps_per_s"] = steps_per_iter / dt
             logger.log(metrics, step=gstep)
 
             if gstep >= next_eval:
-                em = jax.device_get(eval_fn(state.params, eval_key))
+                with timers("eval"):
+                    em = jax.device_get(eval_fn(state.params, eval_key))
                 eval_logger.log(em, step=gstep)
                 next_eval += cfg.eval_every_steps
                 if gstep >= next_ckpt:
-                    ckpt.save(gstep, state, metrics=em)
+                    with timers("checkpoint"):
+                        ckpt.save(gstep, state, metrics=em)
                     next_ckpt += args.checkpoint_every
     except KeyboardInterrupt:
         print("interrupted; saving checkpoint", file=sys.stderr)
+    if trace_active:
+        jax.profiler.stop_trace()
     ckpt.save(int(state.global_step), state)
     ckpt.wait()
     total = time.time() - t_start
+    if args.profile:
+        print(f"phase timers: {timers.report()}", file=sys.stderr)
+        mem = profiling.device_memory_stats()
+        if mem:
+            print(f"device memory: {mem}", file=sys.stderr)
     print(f"training complete: {int(state.global_step)} steps in "
           f"{total/60:.2f} min ({int(state.global_step)/total:.0f} steps/s)",
           file=sys.stderr)
