@@ -60,6 +60,11 @@ class ActorCritic(nn.Module):
                          bias_init=nn.initializers.zeros,
                          name="value_head")(vf_latent)
         log_std = self.param("log_std", nn.initializers.zeros, (self.act_dim,))
+        # Numerical-stability clamp: long large-batch runs can drive the
+        # entropy so low (sigma ~ 5e-3) that importance ratios overflow f32
+        # and the run NaNs (observed at ~65M steps).  SB3's runs end before
+        # collapse; inside the clamp range behavior is identical.
+        log_std = jnp.clip(log_std, -4.0, 2.0)
         return mean, log_std, jnp.squeeze(value, -1)
 
 

@@ -135,7 +135,10 @@ def ppo_loss(params, model: ActorCritic, mb, cfg: PPOConfig):
     obs, actions, old_logp, old_values, advantages, returns = mb
     mean, log_std, value = model.apply(params, obs)
     logp = gaussian_log_prob(actions, mean, log_std)
-    ratio = jnp.exp(logp - old_logp)
+    # log-ratio clamp: |logp - old_logp| can exceed exp()'s f32 range when
+    # sigma is near the clamp floor; 20 nats is far outside the clip range
+    # either way, so this only removes inf/NaN, not signal.
+    ratio = jnp.exp(jnp.clip(logp - old_logp, -20.0, 20.0))
 
     if cfg.normalize_advantage:
         advantages = ((advantages - advantages.mean())
