@@ -59,6 +59,22 @@ class CheckpointManager:
         ckpt = ocp.StandardCheckpointer()
         return ckpt.restore(os.path.join(self._best_dir, "state"), target)
 
+    def restore_raw(self, step: Optional[int] = None, best: bool = False
+                    ) -> Any:
+        """Restore a checkpoint as a raw nested dict (no target structure).
+
+        For consumers that only need a subtree (eval wants params +
+        global_step) and must not depend on the training run's optimizer
+        topology — e.g. an --anneal-lr run stores a schedule state that a
+        constant-lr template cannot mirror."""
+        if best:
+            ckpt = ocp.StandardCheckpointer()
+            return ckpt.restore(os.path.join(self._best_dir, "state"))
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        return self._mgr.restore(step)
+
     def wait(self):
         self._mgr.wait_until_finished()
 

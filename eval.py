@@ -36,11 +36,9 @@ def parse_args(argv=None):
                    help="float64 CPU stepping + Mersenne spawn stream")
     p.add_argument("--skip-episodes", type=int, default=2)
     p.add_argument("--seed", type=int, default=13)
-    # Must match the training run so the checkpoint restores: the env/opt
-    # state shapes depend on these.
-    p.add_argument("--n-envs", type=int, default=1)
-    p.add_argument("--n-steps", type=int, default=2048)
-    p.add_argument("--minibatch-size", type=int, default=64)
+    p.add_argument("--platform", choices=["default", "cpu"], default="default",
+                   help="force the CPU backend (e.g. while the accelerator "
+                        "is held by a training run)")
     return p.parse_args(argv)
 
 
@@ -50,14 +48,14 @@ def main(argv=None):
     if args.exact:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+    elif args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from acas2d_tpu.config import DEFAULT_PARAMS
     from acas2d_tpu.envs import core, telemetry
     from acas2d_tpu.models.actor_critic import ActorCritic
     from acas2d_tpu.oracle import MersenneSpawner
-    from acas2d_tpu.ppo import learner
-    from acas2d_tpu.ppo.config import PPOConfig
     from acas2d_tpu.utils import episode_csv
     from acas2d_tpu.utils.checkpoint import CheckpointManager
 
@@ -65,18 +63,14 @@ def main(argv=None):
     dtype = jnp.float64 if args.exact else jnp.float32
     B, T = args.episodes, P.max_steps
 
-    cfg = PPOConfig(n_envs=args.n_envs, n_steps=args.n_steps,
-                    minibatch_size=args.minibatch_size)
     model = ActorCritic()
-    template = learner.init_train_state(
-        jax.random.PRNGKey(0), model, cfg, P)
+    # Raw (structure-free) restore: eval needs only params + global_step,
+    # and must work regardless of the training run's optimizer topology
+    # (e.g. --anneal-lr schedules change the opt_state pytree).
     ckpt = CheckpointManager(os.path.join(args.run, "checkpoints"))
-    if args.best:
-        state = ckpt.restore_best(template)
-    else:
-        state = ckpt.restore(template, step=args.step)
-    params = state.params
-    print(f"loaded checkpoint at step {int(state.global_step)}",
+    raw = ckpt.restore_raw(step=args.step, best=args.best)
+    params = jax.tree.map(jnp.asarray, raw["params"])
+    print(f"loaded checkpoint at step {int(raw['global_step'])}",
           file=sys.stderr)
 
     spawner = MersenneSpawner(P, skip_episodes=args.skip_episodes)
