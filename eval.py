@@ -24,8 +24,11 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--run", required=True,
+    p.add_argument("--run", default=None,
                    help="training run directory (contains checkpoints/)")
+    p.add_argument("--params-npz", default=None,
+                   help="evaluate a portable params artifact "
+                        "(utils/params_io.py) instead of a run checkpoint")
     p.add_argument("--step", type=int, default=None,
                    help="checkpoint step to load (default: latest)")
     p.add_argument("--best", action="store_true",
@@ -64,14 +67,24 @@ def main(argv=None):
     B, T = args.episodes, P.max_steps
 
     model = ActorCritic()
-    # Raw (structure-free) restore: eval needs only params + global_step,
-    # and must work regardless of the training run's optimizer topology
-    # (e.g. --anneal-lr schedules change the opt_state pytree).
-    ckpt = CheckpointManager(os.path.join(args.run, "checkpoints"))
-    raw = ckpt.restore_raw(step=args.step, best=args.best)
-    params = jax.tree.map(jnp.asarray, raw["params"])
-    print(f"loaded checkpoint at step {int(raw['global_step'])}",
-          file=sys.stderr)
+    if args.params_npz:
+        from acas2d_tpu.utils.params_io import load_params_npz
+        params = jax.tree.map(jnp.asarray, load_params_npz(args.params_npz))
+        print(f"loaded params artifact {args.params_npz}", file=sys.stderr)
+    elif args.run:
+        # Raw (structure-free) restore: eval needs only params +
+        # global_step, and must work regardless of the training run's
+        # optimizer topology (e.g. --anneal-lr schedules change the
+        # opt_state pytree).
+        ckpt = CheckpointManager(os.path.join(args.run, "checkpoints"))
+        raw = ckpt.restore_raw(step=args.step, best=args.best)
+        params = jax.tree.map(jnp.asarray, raw["params"])
+        print(f"loaded checkpoint at step {int(raw['global_step'])}",
+              file=sys.stderr)
+    else:
+        print("error: one of --run / --params-npz is required",
+              file=sys.stderr)
+        return 2
 
     spawner = MersenneSpawner(P, skip_episodes=args.skip_episodes)
     inits = spawner.spawn_batch(B)
