@@ -64,7 +64,11 @@ class ActorCritic(nn.Module):
         # entropy so low (sigma ~ 5e-3) that importance ratios overflow f32
         # and the run NaNs (observed at ~65M steps).  SB3's runs end before
         # collapse; inside the clamp range behavior is identical.
-        log_std = jnp.clip(log_std, -4.0, 2.0)
+        # Straight-through: forward value is clipped but the gradient is the
+        # identity, so the parameter is never frozen at the bound — the
+        # optimizer (and any entropy bonus) can always pull it back inside.
+        clipped = jnp.clip(log_std, -4.0, 2.0)
+        log_std = log_std + jax.lax.stop_gradient(clipped - log_std)
         return mean, log_std, jnp.squeeze(value, -1)
 
 

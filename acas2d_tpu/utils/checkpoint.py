@@ -26,8 +26,16 @@ class CheckpointManager:
             max_to_keep=max_to_keep, create=True)
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
         self._best_key = best_fn_key
-        self._best_value = None
         self._best_dir = os.path.join(self.directory, "best")
+        # Persist the best metric across process restarts: without this, a
+        # --resume relaunch would treat its first (possibly worse) eval as a
+        # new best and overwrite best/.
+        self._best_meta = os.path.join(self._best_dir, "best_value.json")
+        self._best_value = None
+        if os.path.exists(self._best_meta):
+            import json
+            with open(self._best_meta) as f:
+                self._best_value = json.load(f).get("value")
 
     def save(self, step: int, state: Any, metrics: Optional[dict] = None):
         self._mgr.save(step, args=ocp.args.StandardSave(state))
@@ -42,6 +50,9 @@ class CheckpointManager:
                     shutil.rmtree(path)
                 ckpt.save(path, state)
                 ckpt.wait_until_finished()
+                import json
+                with open(self._best_meta, "w") as f:
+                    json.dump({"value": v, "step": int(step)}, f)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

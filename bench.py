@@ -101,8 +101,12 @@ def main():
     try:
         sps = measure_pallas()
         path = "pallas fused rollout"
-    except Exception as e:                         # no TPU / lowering gap
-        print(f"pallas path unavailable ({type(e).__name__}), "
+    except (NotImplementedError, ValueError) as e:
+        # Backend/lowering gaps only (pallas has no CPU lowering; Mosaic
+        # raises NotImplementedError on unsupported primitives).  A kernel
+        # CORRECTNESS failure — e.g. the non-finite-reward assertion — must
+        # surface, not silently downgrade the headline to the XLA path.
+        print(f"pallas path unavailable ({type(e).__name__}: {e}), "
               "falling back to XLA scan", file=sys.stderr)
         sps = measure()
         path = "XLA vmap+scan"

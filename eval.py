@@ -122,7 +122,7 @@ def main(argv=None):
               f"Outcome: {rec['Outcome']:<10} - "
               f"Total Reward = {rec['Total Reward']}")
 
-    out = args.out or os.path.join(args.run, f"eval_{B}.csv")
+    out = args.out or os.path.join(args.run or ".", f"eval_{B}.csv")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     df = episode_csv.to_dataframe(episodes, episode_csv.FULL_COLUMNS)
     df.to_csv(out, index=False)

@@ -6,20 +6,25 @@
 # child PID is killed and training relaunches with --resume (orbax restores
 # params/opt/env/PRNG state, so no progress is lost beyond the last
 # checkpoint).
-# Usage: supervise.sh <run_name> <logfile> <train.py args...>
+# Usage: [STALL_S=360] [MAX_TRIES=6] [OUT_DIR=runs/ppo] \
+#        supervise.sh <run_name> <logfile> <train.py args...>
+# NOTE: pass --out-dir to train.py via OUT_DIR so stall detection and resume
+# detection watch the right paths.
 set -u
 RUN_NAME=$1; LOG=$2; shift 2
 STALL_S=${STALL_S:-360}
 MAX_TRIES=${MAX_TRIES:-6}
-JSONL="runs/ppo/${RUN_NAME}/train.jsonl"
+OUT_DIR=${OUT_DIR:-runs/ppo}
+JSONL="${OUT_DIR}/${RUN_NAME}/train.jsonl"
 
 for try in $(seq 1 "$MAX_TRIES"); do
   RESUME=""
-  [ -d "runs/ppo/${RUN_NAME}/checkpoints" ] && \
-    [ -n "$(ls -A "runs/ppo/${RUN_NAME}/checkpoints" 2>/dev/null)" ] && RESUME="--resume"
-  echo "[supervise] try $try: python train.py --run-name $RUN_NAME $RESUME $*" >> "$LOG"
-  python train.py --run-name "$RUN_NAME" $RESUME "$@" >> "$LOG" 2>&1 &
+  [ -d "${OUT_DIR}/${RUN_NAME}/checkpoints" ] && \
+    [ -n "$(ls -A "${OUT_DIR}/${RUN_NAME}/checkpoints" 2>/dev/null)" ] && RESUME="--resume"
+  echo "[supervise] try $try: python train.py --run-name $RUN_NAME --out-dir $OUT_DIR $RESUME $*" >> "$LOG"
+  python train.py --run-name "$RUN_NAME" --out-dir "$OUT_DIR" $RESUME "$@" >> "$LOG" 2>&1 &
   PID=$!
+  LAUNCH_T=$(date +%s)
   while true; do
     sleep 60
     if ! kill -0 "$PID" 2>/dev/null; then
@@ -29,11 +34,15 @@ for try in $(seq 1 "$MAX_TRIES"); do
       fi
       echo "[supervise] exited rc=$RC; retrying" >> "$LOG"; break
     fi
+    # age = time since the newer of (this try's launch, last metrics write):
+    # a stale train.jsonl from a previous try must not count against a
+    # freshly launched child that is still restoring/compiling.
+    LAST=$LAUNCH_T
     if [ -f "$JSONL" ]; then
-      AGE=$(( $(date +%s) - $(stat -c %Y "$JSONL") ))
-    else
-      AGE=$(( $(date +%s) - $(stat -c %Y "/proc/$PID") ))
+      M=$(stat -c %Y "$JSONL")
+      [ "$M" -gt "$LAST" ] && LAST=$M
     fi
+    AGE=$(( $(date +%s) - LAST ))
     if [ "$AGE" -gt "$STALL_S" ]; then
       echo "[supervise] stalled ${AGE}s; killing $PID" >> "$LOG"
       kill "$PID" 2>/dev/null; sleep 5; kill -9 "$PID" 2>/dev/null

@@ -131,8 +131,15 @@ def main(argv=None):
 
     timers = profiling.PhaseTimers()
     steps_per_iter = cfg.batch_size
-    next_eval = 0
-    next_ckpt = 0
+    # Start cadence counters at the (possibly restored) global step so a
+    # resumed run doesn't eval/checkpoint on every iteration while catching
+    # up from 0.
+    start_step = int(state.global_step)
+    next_eval = (start_step // cfg.eval_every_steps) * cfg.eval_every_steps
+    next_ckpt = (start_step // args.checkpoint_every) * args.checkpoint_every
+    if start_step > 0:
+        next_eval += cfg.eval_every_steps
+        next_ckpt += args.checkpoint_every
     it = 0
     trace_active = False
     eval_key = jax.random.PRNGKey(cfg.seed + 1)
