@@ -99,15 +99,80 @@ def learning_curve(eval_csv: str, out_png: str, compare_reference: bool = True):
     return out_png
 
 
+def reward_shapes(params, out_png: str):
+    """Reward-term shape exploration (the rewards.ipynb notebook, C12):
+    each of the four shaped-reward terms over its domain, plus the
+    polarized variant and the time-discount factor."""
+    import numpy as np
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+
+    from acas2d_tpu.ops import rewards as R
+
+    fig, axes = plt.subplots(2, 3, figsize=(15, 8))
+
+    dh = np.linspace(0, 360, 721)
+    axes[0, 0].plot(dh, np.asarray(R.heading_reward(jnp.asarray(dh), 0.0)))
+    axes[0, 0].set_title("heading_reward vs Δheading [deg]")
+
+    d_cpa = np.linspace(-2 * params.safe_distance, 2 * params.safe_distance,
+                        801)
+    for vc, label in [(-1.0, "closing (v_c<=0)"), (1.0, "separating")]:
+        axes[0, 1].plot(d_cpa, np.asarray(R.closest_approach_reward(
+            jnp.full_like(jnp.asarray(d_cpa), vc), jnp.asarray(d_cpa),
+            params.safe_distance)), label=label)
+    axes[0, 1].axvline(params.safe_distance, ls=":", c="gray")
+    axes[0, 1].legend()
+    axes[0, 1].set_title("closest_approach_reward vs d_cpa [px]")
+
+    dd = np.linspace(-params.d_dev_max_reward * 1.2,
+                     params.d_dev_max_reward * 1.2, 801)
+    axes[0, 2].plot(dd, np.asarray(R.plan_deviation_reward(
+        jnp.asarray(dd), params.d_dev_max_reward)))
+    axes[0, 2].set_title("plan_deviation_reward vs d_dev [px]")
+
+    dg = np.linspace(0, params.d_goal_max_reward, 801)
+    axes[1, 0].plot(dg, np.asarray(R.goal_distance_reward(
+        jnp.asarray(dg), params.d_goal_max_reward)))
+    axes[1, 0].set_title("goal_distance_reward vs d_goal [px]")
+
+    for dcpa_v, label in [(50.0, "d_cpa=+50"), (-50.0, "d_cpa=-50")]:
+        axes[1, 1].plot(dd, np.asarray(R.polarized_plan_deviation_reward(
+            jnp.asarray(dd), jnp.full_like(jnp.asarray(dd), dcpa_v),
+            params.d_dev_max_reward)), label=label)
+    axes[1, 1].legend()
+    axes[1, 1].set_title("polarized_plan_deviation_reward (display-only)")
+
+    steps = np.arange(0, params.max_steps + 1)
+    axes[1, 2].plot(steps, 1.0 - steps / params.max_steps)
+    axes[1, 2].set_title("time-discount factor vs step")
+
+    for ax in axes.flat:
+        ax.grid(alpha=0.3)
+    os.makedirs(os.path.dirname(out_png) or ".", exist_ok=True)
+    fig.savefig(out_png, bbox_inches="tight", dpi=100)
+    plt.close(fig)
+    return out_png
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--csv", help="episode CSV from baseline.py/eval.py")
     ap.add_argument("--learning-curve", dest="lc",
                     help="eval.csv from a training run")
+    ap.add_argument("--reward-shapes", action="store_true",
+                    help="plot the shaped-reward terms (rewards.ipynb)")
     ap.add_argument("--out-dir", default="runs/analysis")
     ap.add_argument("--episodes", type=int, nargs="*",
                     help="episode numbers for per-episode replay PNGs")
     args = ap.parse_args(argv)
+
+    # Analysis is a host-side reporting tool; never touch the accelerator
+    # (it may be held by a training run, and plotting needs no TPU).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
     from acas2d_tpu.config import DEFAULT_PARAMS
     os.makedirs(args.out_dir, exist_ok=True)
@@ -129,6 +194,11 @@ def main(argv=None):
     if args.lc:
         png = learning_curve(args.lc,
                              os.path.join(args.out_dir, "learning_curve.png"))
+        print(f"wrote {png}", file=sys.stderr)
+
+    if args.reward_shapes:
+        png = reward_shapes(DEFAULT_PARAMS,
+                            os.path.join(args.out_dir, "reward_shapes.png"))
         print(f"wrote {png}", file=sys.stderr)
     return 0
 
