@@ -81,7 +81,7 @@ def test_actor_critic_matches_sb3_architecture():
     W = np.asarray(p["pi_tower"]["dense_1"]["kernel"])
     np.testing.assert_allclose(W.T @ W, 2.0 * np.eye(64), atol=1e-4)
     Wa = np.asarray(p["action_head"]["kernel"])
-    np.testing.assert_allclose(float(Wa.T @ Wa), 0.01 ** 2, rtol=1e-4)
+    np.testing.assert_allclose((Wa.T @ Wa)[0, 0], 0.01 ** 2, rtol=1e-4)
     mean, log_std, value = model.apply(params, jnp.zeros((3, P.obs_dim)))
     assert mean.shape == (3, 1) and value.shape == (3,)
 
