@@ -35,6 +35,13 @@ class PPOConfig:
     learning_rate: float = 3e-4
     adam_eps: float = 1e-5
     normalize_advantage: bool = True
+    # Epoch-shuffle granularity: rows are shuffled in contiguous blocks of
+    # this many samples.  1 = exact SB3 row-level shuffle.  0 = auto: 1 for
+    # small buffers, 512 for TPU-scale ones — a row-level random gather over
+    # a >500k-row buffer costs ~10x the minibatch grad steps on TPU (gathers
+    # are row-granular), while a 512-block shuffle is bandwidth-bound and
+    # statistically equivalent at minibatch sizes >= 2^15.
+    shuffle_block_size: int = 0
     # Linear LR decay to 0 over the run (SB3 exposes this as
     # learning_rate=linear_schedule; the reference kept it constant).
     # Large-batch runs converge cleaner with it on.
@@ -49,6 +56,18 @@ class PPOConfig:
     @property
     def batch_size(self) -> int:
         return self.n_envs * self.n_steps
+
+    @property
+    def shuffle_block(self) -> int:
+        """Resolved shuffle block size (see shuffle_block_size)."""
+        b = self.shuffle_block_size
+        if b == 0:
+            b = 512 if (self.minibatch_size >= 1 << 15
+                        and self.minibatch_size % 512 == 0) else 1
+        assert self.minibatch_size % b == 0 and self.batch_size % b == 0, (
+            f"shuffle block {b} must divide minibatch {self.minibatch_size} "
+            f"and buffer {self.batch_size}")
+        return b
 
     @property
     def n_minibatches(self) -> int:

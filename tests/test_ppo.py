@@ -137,3 +137,33 @@ def test_rollout_respects_sb3_clipping_semantics():
                                rtol=1e-6)
     assert batch.obs.shape == (16, 8, P.obs_dim)
     assert last_v.shape == (8,)
+
+
+def test_shuffle_block_resolution():
+    from acas2d_tpu.ppo.config import tpu_default
+    # Reference config (minibatch 64): exact SB3 row-level shuffle.
+    assert PPOConfig().shuffle_block == 1
+    # TPU-scale config (minibatch 65536): 512-row block shuffle.
+    assert tpu_default().shuffle_block == 512
+    # Explicit override wins; must divide minibatch and buffer.
+    cfg = PPOConfig(n_envs=8, n_steps=64, minibatch_size=128,
+                    shuffle_block_size=32, total_timesteps=1024)
+    assert cfg.shuffle_block == 32
+    bad = PPOConfig(n_envs=8, n_steps=64, minibatch_size=128,
+                    shuffle_block_size=48, total_timesteps=1024)
+    with pytest.raises(AssertionError):
+        bad.shuffle_block
+
+
+def test_train_step_with_block_shuffle():
+    cfg = PPOConfig(n_envs=16, n_steps=32, minibatch_size=128,
+                    shuffle_block_size=32, total_timesteps=16 * 32 * 2)
+    model = ActorCritic()
+    st = learner.init_train_state(jax.random.PRNGKey(0), model, cfg, P)
+    step = jax.jit(learner.make_train_step(model, cfg, P))
+    st2, m = step(st)
+    assert np.isfinite(float(m["loss"]))
+    # params actually moved
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     st.params, st2.params)
+    assert max(jax.tree.leaves(d)) > 0
