@@ -78,7 +78,13 @@ def distance_closest_approach(x1, y1, v1, psi1, x2, y2, v2, psi2,
     v12x = v1 * jnp.cos(psi1_rad) - v2 * jnp.cos(psi2_rad)
     v12y = v1 * jnp.sin(psi1_rad) - v2 * jnp.sin(psi2_rad)
     if bug_compat:
-        h_rel_rad = jnp.arctan(v12y / v12x)
+        # v12x==0, v12y!=0 -> arctan(+-inf) = +-pi/2 (IEEE), kept.  The
+        # 0/0 corner (velocities exactly equal, reachable in f32 after
+        # ~1e10 env-steps) is where the reference's scalar-float division
+        # raises ZeroDivisionError — undefined behavior, so we define it
+        # as h_rel=0 instead of letting NaN poison the whole batch.
+        denom = jnp.where((v12x == 0) & (v12y == 0), 1.0, v12x)
+        h_rel_rad = jnp.arctan(v12y / denom)
     else:
         h_rel_rad = jnp.arctan2(v12y, v12x)
     return d * jnp.sin(a_rel_rad - h_rel_rad)
@@ -115,7 +121,11 @@ def closing_speed(x1, y1, v1, psi1, a_lat1, x2, y2, v2, psi2, a_lat2, dt,
     ny2 = y2 + ny2_vy
 
     num = (vx1 - vx2) * (nx1 - nx2) + (vy1 - vy2) * (ny1 - ny2)
-    return (num / distance(nx1, ny1, nx2, ny2)) / dt
+    # Coincident predicted positions (another reference ZeroDivisionError
+    # corner): num is 0 there too, so define c = 0 ("approaching") rather
+    # than produce 0/0 = NaN / x/0 = inf in the observation.
+    d_next = distance(nx1, ny1, nx2, ny2)
+    return (num / jnp.where(d_next == 0, 1.0, d_next)) / dt
 
 
 def delta_heading(psi, phi):

@@ -27,7 +27,8 @@ def heading_reward(psi, phi, exp: float = 4):
 def closest_approach_reward(v_closing, d_cpa, safe_distance, exp: float = 4):
     """1 when separating, else min(1, (d_cpa/SAFE_DISTANCE)^exp)
     (rewards.py:12-16).  d_cpa is signed; the even power symmetrizes it.
-    NaN d_cpa (the arctan 0/0 quirk) propagates, as in the reference."""
+    (The arctan 0/0 corner that would make d_cpa NaN is defined away in
+    kinematics.distance_closest_approach — the reference raises there.)"""
     capped = jnp.minimum(1.0, (d_cpa / safe_distance) ** exp)
     return jnp.where(v_closing > 0, 1.0, capped)
 

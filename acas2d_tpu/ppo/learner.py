@@ -55,7 +55,11 @@ class TrainState:
     env_state: EnvState     # batched (B,)
     obs: jax.Array          # (B, O)
     key: jax.Array
-    global_step: jax.Array  # int64-ish counter (int32 is plenty here)
+    # Count of completed PPO iterations (int32).  The global env-step count
+    # is iteration * (n_envs * n_steps), derived HOST-side as a Python int:
+    # an on-device int32 env-step counter overflows at 2^31 steps, which a
+    # TPU run crosses in under three minutes.
+    iteration: jax.Array
 
 
 def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
@@ -81,7 +85,7 @@ def init_train_state(key: jax.Array, model: ActorCritic, cfg: PPOConfig,
         lambda k: vector.reset_batch(k, cfg.n_envs, env_params, dtype))(k_env)
     return TrainState(params=params, opt_state=opt_state,
                       env_state=env_state, obs=obs, key=k_carry,
-                      global_step=jnp.asarray(0, jnp.int32))
+                      iteration=jnp.asarray(0, jnp.int32))
 
 
 # ---------------------------------------------------------------- rollout
@@ -125,7 +129,7 @@ def collect_rollout(model: ActorCritic, state: TrainState, cfg: PPOConfig,
     }
     new_state = state.replace(
         env_state=env_state, obs=obs, key=key,
-        global_step=state.global_step + cfg.n_steps * cfg.n_envs)
+        iteration=state.iteration + 1)
     return new_state, batch, last_value, metrics
 
 
@@ -242,7 +246,7 @@ def make_train_step(model: ActorCritic, cfg: PPOConfig,
         state = state.replace(params=params, opt_state=opt_state, key=key)
         metrics = {**env_metrics, **opt_metrics,
                    "explained_variance": explained_var,
-                   "global_step": state.global_step}
+                   "iteration": state.iteration}
         return state, metrics
 
     return train_step

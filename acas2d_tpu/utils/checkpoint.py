@@ -75,7 +75,7 @@ class CheckpointManager:
         """Restore a checkpoint as a raw nested dict (no target structure).
 
         For consumers that only need a subtree (eval wants params +
-        global_step) and must not depend on the training run's optimizer
+        the iteration tag) and must not depend on the training run's optimizer
         topology — e.g. an --anneal-lr run stores a schedule state that a
         constant-lr template cannot mirror."""
         if best:

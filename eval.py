@@ -72,15 +72,14 @@ def main(argv=None):
         params = jax.tree.map(jnp.asarray, load_params_npz(args.params_npz))
         print(f"loaded params artifact {args.params_npz}", file=sys.stderr)
     elif args.run:
-        # Raw (structure-free) restore: eval needs only params +
-        # global_step, and must work regardless of the training run's
-        # optimizer topology (e.g. --anneal-lr schedules change the
-        # opt_state pytree).
+        # Raw (structure-free) restore: eval needs only params + the step
+        # tag, and must work regardless of the training run's optimizer
+        # topology (e.g. --anneal-lr schedules change the opt_state pytree).
         ckpt = CheckpointManager(os.path.join(args.run, "checkpoints"))
         raw = ckpt.restore_raw(step=args.step, best=args.best)
         params = jax.tree.map(jnp.asarray, raw["params"])
-        print(f"loaded checkpoint at step {int(raw['global_step'])}",
-              file=sys.stderr)
+        tag = raw.get("iteration", raw.get("global_step", -1))
+        print(f"loaded checkpoint (iteration {int(tag)})", file=sys.stderr)
     else:
         print("error: one of --run / --params-npz is required",
               file=sys.stderr)

@@ -141,3 +141,34 @@ def test_autoreset_invariant_to_batch_position():
         lambda s, a: vector.rollout_actions(s, a, P, autoreset=True))(states_p, acts)
     np.testing.assert_array_equal(np.asarray(outs.reward)[:, perm],
                                   np.asarray(outs_p.reward))
+
+
+def test_singular_kinematics_corners_are_finite():
+    """The two 0/0 corners where the reference's scalar-float math raises
+    ZeroDivisionError (undefined behavior) must yield finite numbers, not
+    NaN/inf that poison a whole training batch (hit in practice after
+    ~1e10 f32 env-steps when player and traffic velocities land on the
+    same float)."""
+    from acas2d_tpu.ops import kinematics as K
+
+    # Exactly equal velocity vectors -> v12x == v12y == 0.
+    dca = K.distance_closest_approach(
+        jnp.float32(100.0), jnp.float32(200.0), jnp.float32(200.0),
+        jnp.float32(37.25), jnp.float32(900.0), jnp.float32(800.0),
+        jnp.float32(200.0), jnp.float32(37.25), bug_compat=True)
+    assert np.isfinite(float(dca))
+
+    # v12x == 0 with v12y != 0 keeps the reference's IEEE arctan(inf) path.
+    dca2 = K.distance_closest_approach(
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(200.0),
+        jnp.float32(90.0), jnp.float32(500.0), jnp.float32(500.0),
+        jnp.float32(200.0), jnp.float32(270.0), bug_compat=True)
+    assert np.isfinite(float(dca2))
+
+    # Coincident predicted positions -> closing speed defined as 0.
+    c = K.closing_speed(
+        jnp.float32(100.0), jnp.float32(100.0), jnp.float32(200.0),
+        jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(100.0), jnp.float32(100.0), jnp.float32(200.0),
+        jnp.float32(0.0), jnp.float32(0.0), 0.01, bug_compat=True)
+    assert float(c) == 0.0

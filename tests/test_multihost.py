@@ -52,7 +52,7 @@ state = state.replace(
     params=jax.device_put(state.params, repl),
     opt_state=jax.device_put(state.opt_state, repl),
     key=jax.device_put(state.key, repl),
-    global_step=jax.device_put(state.global_step, repl))
+    iteration=jax.device_put(state.iteration, repl))
 
 train_step = jax.jit(learner.make_train_step(model, cfg, DEFAULT_PARAMS))
 state, metrics = train_step(state)

@@ -93,7 +93,7 @@ def test_train_step_runs_and_advances():
     st = learner.init_train_state(jax.random.PRNGKey(0), model, cfg, P)
     step = jax.jit(learner.make_train_step(model, cfg, P))
     st2, m = step(st)
-    assert int(m["global_step"]) == 16 * 32
+    assert int(m["iteration"]) == 1
     for k in ("loss", "policy_loss", "value_loss", "approx_kl",
               "explained_variance"):
         assert np.isfinite(float(m[k])), k

@@ -40,7 +40,8 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
 
     mgr = CheckpointManager(str(tmp_path / "ck"),
                             best_fn_key="eval_return_mean")
-    mgr.save(int(st.global_step), st, metrics={"eval_return_mean": 1.0})
+    mgr.save(int(st.iteration) * cfg.batch_size, st,
+             metrics={"eval_return_mean": 1.0})
     mgr.wait()
     assert mgr.latest_step() == 8 * 16
 
@@ -49,7 +50,7 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     for a, b in zip(jax.tree.leaves(st.params),
                     jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert int(restored.global_step) == int(st.global_step)
+    assert int(restored.iteration) == int(st.iteration)
     np.testing.assert_array_equal(np.asarray(st.env_state.px),
                                   np.asarray(restored.env_state.px))
 
@@ -61,7 +62,7 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
         np.asarray(jax.tree.leaves(st2b.params)[0]), atol=1e-7)
 
     best = mgr.restore_best(template)
-    assert int(best.global_step) == 8 * 16
+    assert int(best.iteration) == 1
     mgr.close()
 
 

@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--n-epochs", type=int, default=None)
     p.add_argument("--ent-coef", type=float, default=None)
+    p.add_argument("--shuffle-block", type=int, default=None,
+                   help="epoch-shuffle block size in rows (1 = exact SB3 "
+                        "row shuffle; default auto: 512 at minibatch>=32768)")
     p.add_argument("--anneal-lr", action="store_true",
                    help="linear LR decay to 0 over the run")
     p.add_argument("--seed", type=int, default=13)
@@ -82,6 +85,8 @@ def build_config(args) -> PPOConfig:
         overrides["n_epochs"] = args.n_epochs
     if args.ent_coef is not None:
         overrides["ent_coef"] = args.ent_coef
+    if args.shuffle_block is not None:
+        overrides["shuffle_block_size"] = args.shuffle_block
     if args.anneal_lr:
         overrides["anneal_lr"] = True
     if args.eval_every is not None:
@@ -115,11 +120,16 @@ def main(argv=None):
             env_state=mesh_lib.shard_env_pytree(state.env_state, mesh),
             obs=mesh_lib.shard_env_pytree(state.obs, mesh))
 
+    # Global step is derived host-side (iteration * batch) as a Python int:
+    # an on-device int32 step counter overflows past 2^31 env-steps.
+    steps_per_iter = cfg.batch_size
+    gstep_of = lambda st: int(st.iteration) * steps_per_iter
+
     ckpt = CheckpointManager(f"{args.out_dir}/{run_name}/checkpoints")
     if args.resume:
         try:
             state = ckpt.restore(state)
-            print(f"resumed from step {int(state.global_step)}", file=sys.stderr)
+            print(f"resumed from step {gstep_of(state)}", file=sys.stderr)
         except FileNotFoundError:
             print("no checkpoint found; starting fresh", file=sys.stderr)
 
@@ -130,11 +140,10 @@ def main(argv=None):
     eval_fn = jax.jit(learner.make_eval_fn(model, cfg, env_params, dtype))
 
     timers = profiling.PhaseTimers()
-    steps_per_iter = cfg.batch_size
     # Start cadence counters at the (possibly restored) global step so a
     # resumed run doesn't eval/checkpoint on every iteration while catching
     # up from 0.
-    start_step = int(state.global_step)
+    start_step = gstep_of(state)
     next_eval = (start_step // cfg.eval_every_steps) * cfg.eval_every_steps
     next_ckpt = (start_step // args.checkpoint_every) * args.checkpoint_every
     if start_step > 0:
@@ -145,7 +154,7 @@ def main(argv=None):
     eval_key = jax.random.PRNGKey(cfg.seed + 1)
     t_start = time.time()
     try:
-        while int(state.global_step) < cfg.total_timesteps:
+        while gstep_of(state) < cfg.total_timesteps:
             # trace iterations 2-4 (skip the compile-heavy first one)
             if args.profile and it == 1:
                 jax.profiler.start_trace(f"{args.out_dir}/{run_name}/trace")
@@ -159,7 +168,8 @@ def main(argv=None):
                 jax.profiler.stop_trace()
                 trace_active = False
             it += 1
-            gstep = int(metrics["global_step"])
+            gstep = int(metrics.pop("iteration")) * steps_per_iter
+            metrics["global_step"] = gstep
             metrics["steps_per_s"] = steps_per_iter / dt
             logger.log(metrics, step=gstep)
 
@@ -176,7 +186,7 @@ def main(argv=None):
         print("interrupted; saving checkpoint", file=sys.stderr)
     if trace_active:
         jax.profiler.stop_trace()
-    ckpt.save(int(state.global_step), state)
+    ckpt.save(gstep_of(state), state)
     ckpt.wait()
     total = time.time() - t_start
     if args.profile:
@@ -184,8 +194,8 @@ def main(argv=None):
         mem = profiling.device_memory_stats()
         if mem:
             print(f"device memory: {mem}", file=sys.stderr)
-    print(f"training complete: {int(state.global_step)} steps in "
-          f"{total/60:.2f} min ({int(state.global_step)/total:.0f} steps/s)",
+    print(f"training complete: {gstep_of(state)} steps in "
+          f"{total/60:.2f} min ({gstep_of(state)/total:.0f} steps/s)",
           file=sys.stderr)
     logger.close()
     eval_logger.close()
