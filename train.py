@@ -56,6 +56,10 @@ def parse_args(argv=None):
                    help="global steps between checkpoints (reference: 32768)")
     p.add_argument("--eval-every", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init-params-npz", default=None,
+                   help="warm-start the policy from a flat-npz params "
+                        "artifact (utils/params_io.py); optimizer, env "
+                        "state, and step counter start fresh")
     p.add_argument("--profile", action="store_true",
                    help="write a jax.profiler (TensorBoard/xprof) trace of "
                         "iterations 2-4 to <run>/trace and report per-phase "
@@ -112,6 +116,16 @@ def main(argv=None):
     model = ActorCritic()
     state = learner.init_train_state(
         jax.random.PRNGKey(cfg.seed), model, cfg, env_params, dtype)
+    if args.init_params_npz:
+        from acas2d_tpu.utils.params_io import load_params_npz
+        loaded = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype), load_params_npz(args.init_params_npz))
+        chex_like = jax.tree.map(lambda a, b: a.shape == b.shape,
+                                 state.params, loaded)
+        assert all(jax.tree.leaves(chex_like)), "params artifact shape mismatch"
+        state = state.replace(params=loaded)
+        print(f"warm-started params from {args.init_params_npz}",
+              file=sys.stderr)
 
     # Shard envs across all chips; replicate the tiny policy.
     mesh = mesh_lib.make_mesh()
