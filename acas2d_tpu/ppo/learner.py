@@ -252,6 +252,26 @@ def make_train_step(model: ActorCritic, cfg: PPOConfig,
     return train_step
 
 
+def make_train_loop(model: ActorCritic, cfg: PPOConfig,
+                    env_params: EnvParams, iters_per_call: int) -> Callable:
+    """Returns jit-able train_loop(TrainState) -> (TrainState, metrics):
+    `iters_per_call` full PPO iterations fused into ONE device program via
+    lax.scan, so the host pays one dispatch + one metrics read-back per K
+    iterations instead of per iteration.  On a remote/tunneled accelerator
+    the per-call host round-trip (~10-15 ms) is comparable to the 17 ms
+    compute of a tpu-preset iteration, so K=8-32 roughly doubles end-to-end
+    training throughput.  Metrics come back stacked with a leading (K,)
+    axis — semantically identical to K sequential train_step calls.
+    """
+    train_step = make_train_step(model, cfg, env_params)
+
+    def train_loop(state: TrainState):
+        return jax.lax.scan(lambda s, _: train_step(s), state, None,
+                            length=iters_per_call)
+
+    return train_loop
+
+
 # -------------------------------------------------------------- evaluation
 
 def make_eval_fn(model: ActorCritic, cfg: PPOConfig, env_params: EnvParams,

@@ -60,6 +60,13 @@ def parse_args(argv=None):
                    help="warm-start the policy from a flat-npz params "
                         "artifact (utils/params_io.py); optimizer, env "
                         "state, and step counter start fresh")
+    p.add_argument("--iters-per-call", type=int, default=1,
+                   help="fuse this many PPO iterations into one jitted "
+                        "device program (lax.scan over train_step): one "
+                        "host dispatch + one metrics read-back per call "
+                        "instead of per iteration. Big win on remote/"
+                        "tunneled accelerators; metrics are still logged "
+                        "per iteration")
     p.add_argument("--profile", action="store_true",
                    help="write a jax.profiler (TensorBoard/xprof) trace of "
                         "iterations 2-4 to <run>/trace and report per-phase "
