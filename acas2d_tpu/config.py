@@ -5,7 +5,7 @@ reference constants module (`gym_ACAS2D/settings.py:1-54`) — but instead of a
 star-imported module of globals, parameters live in a frozen dataclass that is
 passed explicitly into the pure step/reset functions.  All defaults are chosen
 so that the engine reproduces the reference environment bit-for-bit (see
-`tests/test_parity_csv.py`).
+`tests/test_oracle_csv.py` and `tests/test_jax_parity.py`).
 
 Design notes (TPU-first):
   * `EnvParams` is a plain frozen dataclass of Python scalars.  It is treated

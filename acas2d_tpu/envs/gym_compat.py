@@ -87,13 +87,41 @@ class _EnvBackend:
         return jax.device_get(self.state)
 
 
+class _PlainBox:
+    """Minimal Box stand-in when gymnasium is absent: exposes the same
+    low/high/shape/dtype surface plus contains(), so the reference's
+    check_env contract (utils/env_check.py) stays verifiable."""
+
+    def __init__(self, low, high, shape=None, dtype=np.float64):
+        low = np.broadcast_to(np.asarray(low, dtype), shape) if shape else \
+            np.asarray(low, dtype)
+        high = np.broadcast_to(np.asarray(high, dtype), shape) if shape else \
+            np.asarray(high, dtype)
+        self.low, self.high = low, high
+        self.shape = low.shape
+        self.dtype = np.dtype(dtype)
+
+    def contains(self, x) -> bool:
+        x = np.asarray(x)
+        return (x.shape == self.shape and np.all(x >= self.low)
+                and np.all(x <= self.high))
+
+    def __repr__(self):
+        return f"Box({self.low.min()}, {self.high.max()}, {self.shape}, {self.dtype})"
+
+
 def _box_spaces(params: EnvParams):
-    """Observation/action boxes exactly as environment.py:15-27."""
+    """Observation/action boxes exactly as environment.py:15-27.
+
+    Uses gymnasium.spaces.Box when available, else the plain stand-in — the
+    LegacyACAS2DEnv contract surface must not silently shrink without
+    gymnasium installed."""
+    box = spaces.Box if _HAS_GYMNASIUM else _PlainBox
     lo = np.array([0, 0, -1, 0, 0] + [0, -1, -1] * params.max_traffic,
                   dtype=np.float64)
     hi = np.ones(params.obs_dim, dtype=np.float64)
-    obs_space = spaces.Box(low=lo, high=hi, dtype=np.float64)
-    act_space = spaces.Box(low=-1.0, high=1.0, shape=(1,), dtype=np.float64)
+    obs_space = box(low=lo, high=hi, dtype=np.float64)
+    act_space = box(low=-1.0, high=1.0, shape=(1,), dtype=np.float64)
     return obs_space, act_space
 
 
@@ -152,8 +180,7 @@ class LegacyACAS2DEnv:
                  exact_spawn: bool = True):
         self.p = params
         self._backend = _EnvBackend(params, exact_spawn)
-        if _HAS_GYMNASIUM:
-            self.observation_space, self.action_space = _box_spaces(params)
+        self.observation_space, self.action_space = _box_spaces(params)
         self.outcome = None
 
     def reset(self):

@@ -91,7 +91,7 @@ def rollout_policy(states: EnvState, obs: jax.Array, key: jax.Array,
 
     `policy_fn(obs, key) -> actions (B,)` — any callable (e.g. an
     actor-critic apply with sampling closed over its params).  The PPO stack
-    uses its own richer rollout (ppo/rollout.py) that also records log-probs
+    uses its own richer rollout (ppo/learner.py:collect_rollout) that also records log-probs
     and values; this one is for eval and scripted policies.
     """
 

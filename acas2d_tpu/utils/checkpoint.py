@@ -39,20 +39,32 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any, metrics: Optional[dict] = None):
         self._mgr.save(step, args=ocp.args.StandardSave(state))
-        if (metrics and self._best_key and self._best_key in metrics):
-            v = float(metrics[self._best_key])
-            if self._best_value is None or v > self._best_value:
-                self._best_value = v
-                ckpt = ocp.StandardCheckpointer()
-                path = os.path.join(self._best_dir, "state")
-                if os.path.exists(path):
-                    import shutil
-                    shutil.rmtree(path)
-                ckpt.save(path, state)
-                ckpt.wait_until_finished()
-                import json
-                with open(self._best_meta, "w") as f:
-                    json.dump({"value": v, "step": int(step)}, f)
+        if metrics:
+            self.update_best(step, state, metrics)
+
+    def update_best(self, step: int, state: Any, metrics: dict) -> bool:
+        """Best-model tracking (EvalCallback's best_model_save_path,
+        training_main.py:31-35): overwrite best/ iff metrics beat the
+        persisted best value.  Callable independently of the periodic
+        save() so best-tracking follows the EVAL cadence while snapshots
+        follow --checkpoint-every.  Returns True on a new best."""
+        if not (self._best_key and self._best_key in metrics):
+            return False
+        v = float(metrics[self._best_key])
+        if self._best_value is not None and v <= self._best_value:
+            return False
+        self._best_value = v
+        ckpt = ocp.StandardCheckpointer()
+        path = os.path.join(self._best_dir, "state")
+        if os.path.exists(path):
+            import shutil
+            shutil.rmtree(path)
+        ckpt.save(path, state)
+        ckpt.wait_until_finished()
+        import json
+        with open(self._best_meta, "w") as f:
+            json.dump({"value": v, "step": int(step)}, f)
+        return True
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

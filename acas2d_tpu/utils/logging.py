@@ -46,19 +46,38 @@ class MetricsLogger:
             except Exception:
                 self._tb = None
 
+    def _open_csv(self, fields):
+        self._fields = list(fields)
+        self._csv_file = open(self.csv_path, "a", newline="")
+        self._csv_writer = csv.DictWriter(self._csv_file,
+                                          fieldnames=self._fields,
+                                          extrasaction="ignore")
+        if self._csv_file.tell() == 0:
+            self._csv_writer.writeheader()
+
+    def _widen_csv(self, new_fields):
+        """A later log() introduced keys unseen in the header: rewrite the
+        CSV in place with the widened field set (old rows get empty cells)
+        instead of silently dropping the new columns."""
+        self._csv_file.close()
+        with open(self.csv_path, newline="") as f:
+            old_rows = list(csv.DictReader(f))
+        fields = self._fields + [k for k in new_fields if k not in self._fields]
+        with open(self.csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
+            w.writeheader()
+            w.writerows(old_rows)
+        self._open_csv(fields)
+
     def log(self, metrics: Dict, step: Optional[int] = None):
         row = {k: _to_py(v) for k, v in metrics.items()}
         row.setdefault("wall_time_s", round(time.time() - self._t0, 3))
         if step is not None:
             row.setdefault("global_step", step)
         if self._csv_writer is None:
-            self._fields = list(row.keys())
-            self._csv_file = open(self.csv_path, "a", newline="")
-            self._csv_writer = csv.DictWriter(self._csv_file,
-                                              fieldnames=self._fields,
-                                              extrasaction="ignore")
-            if self._csv_file.tell() == 0:
-                self._csv_writer.writeheader()
+            self._open_csv(row.keys())
+        elif any(k not in self._fields for k in row):
+            self._widen_csv(row.keys())
         self._csv_writer.writerow(row)
         self._csv_file.flush()
         with open(self.jsonl_path, "a") as f:

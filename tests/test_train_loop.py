@@ -1,0 +1,96 @@
+"""Train-loop mechanics: fused K-iteration device program and cadences.
+
+Covers the two round-1 gaps flagged in VERDICT.md: (1) `--iters-per-call`
+must actually change behavior (learner.make_train_loop wired into train.py)
+and be semantically identical to K sequential train_step calls; (2)
+`--checkpoint-every` must fire on its own cadence, not only when an eval
+happens to fire (train.py previously nested the two).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from acas2d_tpu.config import DEFAULT_PARAMS
+from acas2d_tpu.models.actor_critic import ActorCritic
+from acas2d_tpu.ppo import learner
+from acas2d_tpu.ppo.config import PPOConfig
+
+import train as train_main
+
+
+def _tiny_cfg(**kw):
+    base = dict(n_envs=8, n_steps=16, minibatch_size=32, n_epochs=2,
+                total_timesteps=8 * 16 * 4, seed=3)
+    base.update(kw)
+    return PPOConfig(**base)
+
+
+def test_fused_loop_matches_sequential():
+    """K iterations fused via lax.scan == K sequential train_step calls:
+    same final params, same per-iteration metrics (stacked on axis 0)."""
+    cfg = _tiny_cfg()
+    model = ActorCritic()
+    K = 3
+
+    state0 = learner.init_train_state(
+        jax.random.PRNGKey(cfg.seed), model, cfg, DEFAULT_PARAMS, jnp.float64)
+
+    step_fn = jax.jit(learner.make_train_step(model, cfg, DEFAULT_PARAMS))
+    seq_state, seq_metrics = state0, []
+    for _ in range(K):
+        seq_state, m = step_fn(seq_state)
+        seq_metrics.append(jax.device_get(m))
+
+    loop_fn = jax.jit(learner.make_train_loop(model, cfg, DEFAULT_PARAMS, K))
+    fused_state, fused_metrics = loop_fn(state0)
+    fused_metrics = jax.device_get(fused_metrics)
+
+    for a, b in zip(jax.tree.leaves(seq_state.params),
+                    jax.tree.leaves(fused_state.params)):
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+    assert int(fused_state.iteration) == K
+    for i in range(K):
+        for k in ("loss", "ep_return_mean", "episodes", "iteration"):
+            np.testing.assert_allclose(
+                fused_metrics[k][i], seq_metrics[i][k], rtol=1e-12,
+                err_msg=f"metric {k} differs at fused iteration {i}")
+
+
+def test_train_main_iters_per_call_logs_every_iteration(tmp_path):
+    """train.py --iters-per-call K still logs one CSV row per PPO iteration
+    with correct global_step values."""
+    out = str(tmp_path)
+    rc = train_main.main([
+        "--platform", "cpu", "--n-envs", "8", "--n-steps", "32",
+        "--total-steps", "1024", "--minibatch-size", "64",
+        "--n-epochs", "2", "--iters-per-call", "2",
+        "--eval-every", "1024", "--checkpoint-every", "1024",
+        "--run-name", "fused", "--out-dir", out])
+    assert rc == 0
+    df = pd.read_csv(os.path.join(out, "fused", "train.csv"))
+    assert list(df["global_step"]) == [256, 512, 768, 1024]
+
+
+def test_checkpoint_cadence_decoupled_from_eval(tmp_path):
+    """--checkpoint-every smaller than --eval-every must still checkpoint at
+    its own cadence (VERDICT.md weak #2: it used to degrade to the eval
+    cadence)."""
+    out = str(tmp_path)
+    rc = train_main.main([
+        "--platform", "cpu", "--n-envs", "8", "--n-steps", "32",
+        "--total-steps", "1024", "--minibatch-size", "64",
+        "--n-epochs", "2",
+        "--eval-every", "1024",          # evals only at the very end
+        "--checkpoint-every", "256",     # ... but checkpoints every iteration
+        "--run-name", "cad", "--out-dir", out])
+    assert rc == 0
+    ckpt_dir = os.path.join(out, "cad", "checkpoints")
+    steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    # orbax max_to_keep=5 retains the newest; all 4 cadence points fit.
+    assert steps == [256, 512, 768, 1024], steps
+    # best/ exists too: the final eval fired and best-tracking rode it.
+    assert os.path.isdir(os.path.join(ckpt_dir, "best"))

@@ -79,3 +79,37 @@ def test_metrics_logger_writes_csv_jsonl(tmp_path):
     import pandas as pd
     df = pd.read_csv(tmp_path / "t.csv")
     assert list(df["global_step"]) == [10, 20]
+
+
+def test_metrics_logger_widens_csv_on_new_keys(tmp_path):
+    """Keys first appearing after the first log() call must land in the CSV
+    (VERDICT.md weak #5: they used to be silently dropped)."""
+    from acas2d_tpu.utils.logging import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path), "w", tensorboard=False, echo=False)
+    lg.log({"a": 1.0}, step=1)
+    lg.log({"a": 2.0, "extra": 9.0}, step=2)
+    lg.log({"a": 3.0, "extra": 10.0}, step=3)
+    lg.close()
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "w.csv")
+    assert list(df.columns[:1]) == ["a"]
+    assert "extra" in df.columns
+    assert df["extra"].tolist()[1:] == [9.0, 10.0]
+    import math
+    assert math.isnan(df["extra"][0])
+
+
+def test_legacy_env_spaces_without_gymnasium(monkeypatch):
+    """LegacyACAS2DEnv must expose observation/action spaces even when
+    gymnasium is absent (VERDICT.md weak #7)."""
+    from acas2d_tpu.envs import gym_compat
+
+    monkeypatch.setattr(gym_compat, "_HAS_GYMNASIUM", False)
+    env = gym_compat.LegacyACAS2DEnv()
+    obs = env.reset()
+    assert env.observation_space.shape == (8,)
+    assert env.action_space.shape == (1,)
+    assert env.observation_space.contains(obs)
+    assert env.action_space.contains(np.array([0.5]))
+    assert not env.action_space.contains(np.array([1.5]))

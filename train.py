@@ -156,8 +156,18 @@ def main(argv=None):
 
     logger = MetricsLogger(f"{args.out_dir}/{run_name}", "train")
     eval_logger = MetricsLogger(f"{args.out_dir}/{run_name}", "eval")
-    train_step = jax.jit(learner.make_train_step(model, cfg, env_params),
-                         donate_argnums=(0,))
+    iters_per_call = max(1, args.iters_per_call)
+    if iters_per_call > 1:
+        # K PPO iterations fused into ONE device program (lax.scan over
+        # train_step): one host dispatch + one metrics read-back per K
+        # iterations.  Metrics come back stacked with a leading (K,) axis
+        # and are logged per iteration below.
+        train_fn = jax.jit(
+            learner.make_train_loop(model, cfg, env_params, iters_per_call),
+            donate_argnums=(0,))
+    else:
+        train_fn = jax.jit(learner.make_train_step(model, cfg, env_params),
+                           donate_argnums=(0,))
     eval_fn = jax.jit(learner.make_eval_fn(model, cfg, env_params, dtype))
 
     timers = profiling.PhaseTimers()
@@ -172,7 +182,10 @@ def main(argv=None):
         next_ckpt += args.checkpoint_every
     it = 0
     trace_active = False
-    eval_key = jax.random.PRNGKey(cfg.seed + 1)
+    # Fresh eval episodes each eval (fold the global step into the base
+    # key) — the reference's EvalCallback draws new episodes from its
+    # Monitor env's continuing stream every eval, not a fixed set of 10.
+    eval_base_key = jax.random.PRNGKey(cfg.seed + 1)
     t_start = time.time()
     try:
         while gstep_of(state) < cfg.total_timesteps:
@@ -182,26 +195,39 @@ def main(argv=None):
                 trace_active = True
             t0 = time.time()
             with timers("train_step"):
-                state, metrics = train_step(state)
+                state, metrics = train_fn(state)
                 metrics = jax.device_get(metrics)   # sync barrier
             dt = time.time() - t0
             if args.profile and it == 3:
                 jax.profiler.stop_trace()
                 trace_active = False
             it += 1
-            gstep = int(metrics.pop("iteration")) * steps_per_iter
-            metrics["global_step"] = gstep
-            metrics["steps_per_s"] = steps_per_iter / dt
-            logger.log(metrics, step=gstep)
+            # Unstack the (K,) metrics (K=1 when unfused) and log one row
+            # per PPO iteration — identical log schema either way.
+            rows = ([metrics] if iters_per_call == 1 else
+                    [jax.tree.map(lambda x: x[i], metrics)
+                     for i in range(iters_per_call)])
+            for row in rows:
+                gstep = int(row.pop("iteration")) * steps_per_iter
+                row["global_step"] = gstep
+                row["steps_per_s"] = iters_per_call * steps_per_iter / dt
+                logger.log(row, step=gstep)
+            gstep = gstep_of(state)
 
             if gstep >= next_eval:
                 with timers("eval"):
+                    eval_key = jax.random.fold_in(eval_base_key, gstep)
                     em = jax.device_get(eval_fn(state.params, eval_key))
                 eval_logger.log(em, step=gstep)
-                next_eval += cfg.eval_every_steps
-                if gstep >= next_ckpt:
-                    with timers("checkpoint"):
-                        ckpt.save(gstep, state, metrics=em)
+                # Best-model tracking rides the EVAL cadence
+                # (EvalCallback semantics), independent of snapshots.
+                ckpt.update_best(gstep, state, jax.tree.map(float, em))
+                while next_eval <= gstep:
+                    next_eval += cfg.eval_every_steps
+            if gstep >= next_ckpt:
+                with timers("checkpoint"):
+                    ckpt.save(gstep, state)
+                while next_ckpt <= gstep:
                     next_ckpt += args.checkpoint_every
     except KeyboardInterrupt:
         print("interrupted; saving checkpoint", file=sys.stderr)
