@@ -114,3 +114,72 @@ def test_render_outputs(tmp_path):
     frame = render.render_frame(100.0, 500.0, 0.0, np.array([1552.0]),
                                 np.array([48.0]), 1, P)
     assert frame.ndim == 3 and frame.shape[2] == 3
+
+
+def test_gym_main_replay_actions_artifact_vs_oracle():
+    """The reference ships a recorded action sequence (gym_main.py:14,
+    'episode 1 in model #5 testing') — a free golden, realistically-shaped
+    action trace.  Replay it through BOTH the NumPy oracle and the jitted
+    JAX engine from the same spawn and require agreement at the parity
+    contract's tolerance (1e-9 px / 1e-12 reward per step — XLA's FMA
+    contraction differs from libm by ~1 ULP on some steps; outcomes and
+    step counts exact).  VERDICT.md missing #4."""
+    from acas2d_tpu.envs import core
+
+    seq = np.load("artifacts/gym_main_actions.npy")
+    assert seq.shape == (740,) and seq.dtype == np.float64
+    assert abs(float(seq[-1]) - 0.10027899593114853) < 1e-16
+
+    T = P.max_steps
+    acts = np.full(T, seq[-1])
+    acts[:len(seq)] = seq           # pad with last value (gym_main.py:38-41)
+
+    # Same spawn for both: reference stream offset (2 burnt spawns).
+    o = OracleEnv(P, spawner=MersenneSpawner(P, skip_episodes=2))
+    o.reset()
+    i = MersenneSpawner(P, skip_episodes=2).spawn()
+    state, obs = core.reset_from(i.player_psi, i.traffic_x, i.traffic_y,
+                                 i.traffic_v, i.traffic_psi, i.num_traffic, P)
+    step = jax.jit(lambda s, a: core.step(s, a, P))
+
+    ret_o = ret_j = 0.0
+    done_j = False
+    for t in range(T):
+        _, r_o, done_o, _ = o.step(np.array([acts[t]]))
+        state, out = step(state, jnp.float64(acts[t]))
+        np.testing.assert_allclose(float(out.reward), r_o, atol=1e-12, rtol=0)
+        np.testing.assert_allclose(float(state.px), o.state.px, atol=1e-9, rtol=0)
+        np.testing.assert_allclose(float(state.py), o.state.py, atol=1e-9, rtol=0)
+        ret_o += r_o
+        ret_j += float(out.reward)
+        done_j = bool(out.done)
+        assert done_j == done_o
+        if done_o:
+            break
+    assert done_j and int(state.outcome) == o.state.outcome
+    np.testing.assert_allclose(ret_j, ret_o, atol=1e-9, rtol=0)
+
+
+@pytest.mark.slow
+def test_baseline_100_episodes_bitexact_count(tmp_path):
+    """Full 100-episode zero-action run vs the committed reference CSV:
+    count bit-exact trajectories and pin the README's 90/100 claim
+    (VERDICT.md weak #3).  Outcomes/step-counts must match on all 100."""
+    if not os.path.exists(REF_CSV):
+        pytest.skip("reference CSV unavailable")
+    import baseline
+    out = str(tmp_path / "b100.csv")
+    baseline.main(["--episodes", "100", "--out", out])
+    ref = pd.read_csv(REF_CSV)
+    new = pd.read_csv(out)
+    assert len(new) == 100
+    bitexact = 0
+    for i in range(100):
+        assert ref.loc[i, "Outcome"] == new.loc[i, "Outcome"], i
+        assert ref.loc[i, "Time Steps"] == new.loc[i, "Time Steps"], i
+        rp = np.array(ast.literal_eval(ref.loc[i, "Path"]))
+        np_ = np.array(ast.literal_eval(new.loc[i, "Path"]))
+        np.testing.assert_allclose(np_, rp, atol=1e-9, rtol=0)
+        if np.array_equal(np_, rp):
+            bitexact += 1
+    assert bitexact >= 90, f"only {bitexact}/100 bit-exact"
