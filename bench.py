@@ -17,6 +17,7 @@ but a host transfer cannot complete before the compute that produces it.
 Best of repeated measurements; throughput checked finite.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -96,7 +97,163 @@ def measure(B: int = 262144, T: int = 256, iters: int = 8,
     return best
 
 
+# --------------------------------------------------------------- scaling
+
+def _sync(x):
+    np.asarray(x)   # host transfer = sync barrier (see module docstring)
+
+
+def measure_rollout_at(devices, n_envs: int, T: int, iters: int = 4,
+                       repeats: int = 2) -> float:
+    """Random-action autoreset rollout steps/s with the env batch sharded
+    over `devices` via the ('env',) mesh (weak scaling: caller grows n_envs
+    with the device count)."""
+    from acas2d_tpu.parallel import mesh as mesh_lib
+
+    P = DEFAULT_PARAMS
+    mesh = mesh_lib.make_mesh(devices)
+    key = jax.random.PRNGKey(0)
+    states, _ = jax.jit(
+        lambda k: vector.reset_batch(k, n_envs, P, jnp.float32))(key)
+    states = mesh_lib.shard_env_pytree(states, mesh)
+
+    def run(s, k):
+        def body(carry, _):
+            s, k = carry
+            k, ka = jax.random.split(k)
+            a = jax.random.uniform(ka, (n_envs,), jnp.float32, -1, 1)
+            s, out = vector.step_autoreset_batch(s, a, P)
+            return (s, k), out.reward.sum()
+        (s, k), r = jax.lax.scan(body, (s, k), None, length=T)
+        return s, k, r.sum()
+
+    runj = jax.jit(run, donate_argnums=(0,))
+    s, k, r = runj(states, key)
+    assert np.isfinite(np.asarray(r))
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s, k, r = runj(s, k)
+        _sync(r)
+        dt = (time.perf_counter() - t0) / iters
+        best = max(best, n_envs * T / dt)
+    return best
+
+
+def measure_train_at(devices, n_envs: int, n_steps: int, iters: int = 2,
+                     repeats: int = 2) -> float:
+    """Full PPO train_step (rollout + GAE + 10 epochs of minibatch Adam)
+    env-steps/s with env state sharded over `devices`; params replicated,
+    gradients all-reduced by XLA (psum over the mesh)."""
+    from acas2d_tpu.models.actor_critic import ActorCritic
+    from acas2d_tpu.parallel import mesh as mesh_lib
+    from acas2d_tpu.ppo import learner
+    from acas2d_tpu.ppo.config import PPOConfig
+
+    P = DEFAULT_PARAMS
+    batch = n_envs * n_steps
+    cfg = PPOConfig(n_envs=n_envs, n_steps=n_steps,
+                    minibatch_size=max(64, batch // 8),
+                    total_timesteps=batch)
+    model = ActorCritic()
+    st = learner.init_train_state(jax.random.PRNGKey(0), model, cfg, P)
+    mesh = mesh_lib.make_mesh(devices)
+    st = st.replace(env_state=mesh_lib.shard_env_pytree(st.env_state, mesh),
+                    obs=mesh_lib.shard_env_pytree(st.obs, mesh))
+    step = jax.jit(learner.make_train_step(model, cfg, P),
+                   donate_argnums=(0,))
+    st, m = step(st)
+    assert np.isfinite(np.asarray(m["loss"]))
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, m = step(st)
+        _sync(m["loss"])
+        dt = (time.perf_counter() - t0) / iters
+        best = max(best, batch / dt)
+    return best
+
+
+def scaling_main(args) -> int:
+    """bench.py --scaling: weak-scaling efficiency over the ('env',) mesh.
+
+    Runs the sharded autoreset rollout and the full PPO train_step at
+    n_devices in {1, 2, 4, ..., all}, envs-per-device held constant, and
+    prints one JSON line per point plus a summary line.  Efficiency is
+    per-chip throughput at n vs at 1 (BASELINE.md: >=80% at n>=2).  On a
+    single-chip/CPU rig this exercises the harness via the virtual device
+    mesh; on a pod slice it produces the real number unchanged.
+    """
+    all_devices = jax.devices()
+    counts = []
+    n = 1
+    while n <= len(all_devices):
+        counts.append(n)
+        n *= 2
+    if counts[-1] != len(all_devices):
+        counts.append(len(all_devices))
+    rows = []
+    base = {}
+    for n in counts:
+        devs = all_devices[:n]
+        point = {"n_devices": n, "platform": all_devices[0].platform}
+        if args.mode in ("rollout", "both"):
+            sps = measure_rollout_at(devs, args.envs_per_device * n,
+                                     args.bench_steps)
+            point["rollout_steps_per_s"] = round(sps, 1)
+            base.setdefault("rollout", sps if n == 1 else None)
+            if base.get("rollout"):
+                point["rollout_efficiency"] = round(
+                    sps / (n * base["rollout"]), 3)
+        if args.mode in ("train", "both"):
+            sps = measure_train_at(devs, args.envs_per_device * n,
+                                   args.train_steps)
+            point["train_steps_per_s"] = round(sps, 1)
+            base.setdefault("train", sps if n == 1 else None)
+            if base.get("train"):
+                point["train_efficiency"] = round(
+                    sps / (n * base["train"]), 3)
+        rows.append(point)
+        print(json.dumps(point), flush=True)
+    worst = min((r.get("rollout_efficiency", 1.0) for r in rows[1:]),
+                default=1.0)
+    worst_t = min((r.get("train_efficiency", 1.0) for r in rows[1:]),
+                  default=1.0)
+    print(json.dumps({
+        "metric": "weak-scaling efficiency (env mesh)",
+        "value": round(min(worst, worst_t), 3),
+        "unit": "per-chip efficiency vs 1 device",
+        "n_devices_max": counts[-1],
+        "target": 0.8,
+    }))
+    return 0
+
+
 def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scaling", action="store_true",
+                    help="weak-scaling efficiency sweep over the env mesh "
+                         "instead of the single-chip headline number")
+    ap.add_argument("--mode", choices=["rollout", "train", "both"],
+                    default="both", help="--scaling: which path to measure")
+    ap.add_argument("--envs-per-device", type=int, default=32768)
+    ap.add_argument("--bench-steps", type=int, default=128,
+                    help="--scaling: rollout scan length")
+    ap.add_argument("--train-steps", type=int, default=64,
+                    help="--scaling: PPO n_steps per iteration")
+    ap.add_argument("--platform", choices=["default", "cpu"], default="default",
+                    help="force the CPU backend (this machine's "
+                         "sitecustomize pins jax_platforms to the axon TPU, "
+                         "overriding JAX_PLATFORMS; combine with "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                         "for a virtual mesh)")
+    args = ap.parse_args()
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if args.scaling:
+        return scaling_main(args)
     n_dev = jax.device_count()
     try:
         sps = measure_pallas()
@@ -117,6 +274,7 @@ def main():
         "unit": "env-steps/s/chip",
         "vs_baseline": round(per_chip / REFERENCE_STEPS_PER_S, 1),
     }))
+    return 0
 
 
 if __name__ == "__main__":

@@ -84,3 +84,20 @@ def test_sharded_train_step_matches_replicated():
     for a, b in zip(jax.tree.leaves(st_a.params), jax.tree.leaves(st_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_scaling_bench_harness():
+    """bench.py --scaling harness: both measurement paths run sharded over
+    1 and 8 devices and report finite positive throughput (the efficiency
+    NUMBER is only meaningful on real multi-chip hardware; here we pin that
+    the harness executes the sharded programs it claims to measure)."""
+    import bench
+
+    for n in (1, 8):
+        devs = jax.devices()[:n]
+        sps = bench.measure_rollout_at(devs, n_envs=8 * n, T=8,
+                                       iters=1, repeats=1)
+        assert np.isfinite(sps) and sps > 0
+        sps = bench.measure_train_at(devs, n_envs=8 * n, n_steps=8,
+                                     iters=1, repeats=1)
+        assert np.isfinite(sps) and sps > 0
