@@ -9,4 +9,28 @@ learner.  See SURVEY.md at the repo root for the full blueprint.
 
 __version__ = "0.1.0"
 
-from acas2d_tpu.config import EnvParams, DEFAULT_PARAMS, OUTCOME_NAMES
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA/Mosaic compilation cache (opt-out: ACAS2D_NO_CC=1).
+
+    The fused Pallas rollout kernel takes minutes to Mosaic-compile on the
+    tunneled TPU backend; without a disk cache every driver/test process
+    pays that again.  JAX only consults the cache for compilations slower
+    than the threshold, so small programs are unaffected.
+    """
+    if _os.environ.get("ACAS2D_NO_CC", "0") == "1":
+        return
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                        _os.path.expanduser("~/.cache/acas2d_jax")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+_enable_compilation_cache()
+
+from acas2d_tpu.config import EnvParams, DEFAULT_PARAMS, OUTCOME_NAMES  # noqa: E402

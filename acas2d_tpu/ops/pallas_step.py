@@ -299,7 +299,19 @@ def fused_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
     max_traffic == 1) and int32 steps.  Returns the final state plus per-env
     (reward_sum, episodes_ended, goals, collisions).
     """
-    assert params.max_traffic == 1, "pallas path specializes max_traffic=1"
+    # The in-kernel respawn (spawn() above) specializes the reference's only
+    # exercised configuration: exactly one traffic aircraft at constant
+    # airspeed (settings.py:31-32,39-41).  Any other EnvParams would
+    # silently produce wrong spawn distributions — fail loudly instead.
+    assert params.max_traffic == 1 and params.min_traffic == 1, (
+        "pallas path specializes min_traffic == max_traffic == 1 "
+        f"(got {params.min_traffic}..{params.max_traffic}); "
+        "use envs/vector.py for other configs")
+    assert (params.airspeed_factor_min == 1.0
+            and params.airspeed_factor_max == 1.0), (
+        "pallas respawn hard-codes traffic speed == airspeed "
+        f"(got factor range {params.airspeed_factor_min}.."
+        f"{params.airspeed_factor_max}); use envs/vector.py")
     B = px.shape[0]
     assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
     G = B // LANES

@@ -53,18 +53,123 @@ def _draw_scene(ax, px, py, tx, ty, num_traffic, params: EnvParams):
         ax.plot([tx[n]], [ty[n]], marker="v", ms=8, color="black")
 
 
+def hud_quantities(px, py, psi, tx, ty, tv, tpsi, a_lat,
+                   steps: int = 0, episode: int = 0,
+                   total_reward: float = 0.0,
+                   params: EnvParams = DEFAULT_PARAMS) -> dict:
+    """All 15 live quantities of the reference HUD (game.py:350-428),
+    computed host-side from scalar state via the NumPy oracle (identical
+    float semantics to the reference, incl. the bug_compat kinematics the
+    display path uses: closing_speed/distance_closest_approach quirks).
+
+    Keys/rounding match the reference's on-screen labels; step_reward is the
+    display-only step_reward_6 (polarized plan deviation, game.py:421-428).
+    """
+    from acas2d_tpu import oracle
+
+    p = params
+    tx0, ty0, tv0, tpsi0 = (float(tx[0]), float(ty[0]), float(tv[0]),
+                            float(tpsi[0]))
+    d_goal = oracle.distance(px, py, p.goal_x, p.goal_y)
+    h_goal = oracle.relative_angle(px, py, p.goal_x, p.goal_y)
+    d_dev = d_goal * np.sin(np.radians(h_goal))
+    v_closing = oracle.closing_speed(px, py, p.airspeed, psi, a_lat,
+                                     tx0, ty0, tv0, tpsi0, 0.0, p)
+    d_cpa = oracle.distance_closest_approach(
+        px, py, p.airspeed, psi, tx0, ty0, tv0, tpsi0, p.bug_compat)
+    from acas2d_tpu.ops import rewards as R
+    r6 = float(R.step_reward_6(v_closing, psi, h_goal, d_cpa, d_goal, d_dev,
+                               p.safe_distance, p.d_dev_max_reward,
+                               p.d_goal_max_reward))
+    return {
+        # top-left block (game.py:351-368)
+        "pos": f"pos: ({round(px, 1)}, {round(py, 1)})",
+        "v_air": f"v_air: {round(p.airspeed, 1)}",
+        "psi": f"psi: {round(psi, 1)}",
+        "psi_dot": f"psi_dot: {round(a_lat / (p.airspeed * p.dt), 1)}",
+        "a_lat": f"a_lat: {round(a_lat, 1)}",
+        "a_lat_norm": f"a_lat_norm: {round(a_lat / p.acc_lat_limit, 3)}",
+        # bottom-left metrics block (game.py:371-397)
+        "d_goal": f"Distance to goal: {round(d_goal, 1)}",
+        "min_separation": ("Min. Separation: "
+                           f"{round(oracle.distance(px, py, tx0, ty0), 1)}"),
+        "rel_angle_traffic": ("Rel. angle to traffic: "
+                              f"{round(oracle.relative_angle(px, py, tx0, ty0), 1)}"),
+        "v_closing": f"Closing Speed: {round(v_closing, 1)}",
+        "d_cpa": f"Closest approach: {round(d_cpa, 1)}",
+        "delta_heading": ("Delta heading: "
+                          f"{round(oracle.delta_heading(psi, h_goal), 1)}"),
+        "d_dev": f"Plan deviation: {round(d_dev, 1)}",
+        # bottom-center (game.py:400-403)
+        "steps": f"Steps: {int(steps)}",
+        "episode": f"Episode: {int(episode)}",
+        # bottom-right reward block (game.py:406-428)
+        "total_reward": f"Total reward: {round(total_reward, 1)}",
+        "r_heading": ("Step heading reward: "
+                      f"{round(oracle.heading_reward(psi, h_goal), 3)}"),
+        "r_cpa": ("Step closest approach reward: "
+                  f"{round(oracle.closest_approach_reward(v_closing, d_cpa, p), 3)}"),
+        "r_goal_dist": ("Step goal distance reward: "
+                        f"{round(oracle.goal_distance_reward(d_goal, p), 3)}"),
+        "r_plan_dev": ("Step plan deviation reward: "
+                       f"{round(oracle.plan_deviation_reward(d_dev, p), 3)}"),
+        "r_step": f"Step reward: {round(r6, 3)}",
+    }
+
+
+# (label-key, x, y) placements mirroring the reference's blit coordinates
+# (game.py:350-428; y measured in screen pixels, y-down axes).
+_HUD_LAYOUT = [
+    ("pos", 20, 20), ("v_air", 20, 40), ("psi", 20, 60),
+    ("psi_dot", 20, 80), ("a_lat", 20, 100), ("a_lat_norm", 20, 120),
+    ("d_goal", 20, -20), ("min_separation", 20, -40),
+    ("rel_angle_traffic", 20, -60), ("v_closing", 20, -80),
+    ("d_cpa", 20, -100), ("delta_heading", 20, -120), ("d_dev", 20, -140),
+    ("steps", 0.5, -20), ("episode", 0.5, -40),
+    ("total_reward", -300, -20), ("r_step", -300, -40),
+    ("r_plan_dev", -300, -60), ("r_goal_dist", -300, -80),
+    ("r_cpa", -300, -100), ("r_heading", -300, -120),
+]
+
+
+def draw_hud(ax, hud: dict, params: EnvParams):
+    """Place HUD text in the reference's four screen regions."""
+    for key, x, y in _HUD_LAYOUT:
+        if key not in hud:
+            continue
+        xx = params.width / 2 - 50 if x == 0.5 else (
+            params.width + x if x < 0 else x)
+        yy = params.height + y if y < 0 else y
+        ax.text(xx, yy, hud[key], fontsize=7, color="black",
+                family="monospace")
+
+
 def render_frame(px, py, psi, tx, ty, num_traffic,
                  params: EnvParams = DEFAULT_PARAMS,
-                 trail: Optional[Sequence[Tuple[float, float]]] = None
-                 ) -> np.ndarray:
-    """One live frame as an HxWx3 uint8 array (gymnasium rgb_array mode)."""
+                 trail: Optional[Sequence[Tuple[float, float]]] = None,
+                 tv=None, tpsi=None, a_lat: float = 0.0,
+                 steps: int = 0, episode: int = 0,
+                 total_reward: float = 0.0) -> np.ndarray:
+    """One live frame as an HxWx3 uint8 array (gymnasium rgb_array mode).
+
+    With traffic kinematics (tv/tpsi) provided, draws the reference's full
+    15-quantity HUD (game.py:350-428); otherwise a minimal position line.
+    """
     fig, ax = _new_axes(params)
     if trail:
         t = np.asarray(trail)
         ax.plot(t[:, 0], t[:, 1], color="white", lw=0.8, alpha=0.7)
     _draw_scene(ax, px, py, tx, ty, num_traffic, params)
-    ax.text(20, 40, f"pos: ({px:.1f}, {py:.1f})  psi: {psi:.1f}",
-            fontsize=8, color="black")
+    if tv is not None and tpsi is not None and num_traffic > 0:
+        hud = hud_quantities(float(px), float(py), float(psi),
+                             np.atleast_1d(tx), np.atleast_1d(ty),
+                             np.atleast_1d(tv), np.atleast_1d(tpsi),
+                             float(a_lat), steps, episode, total_reward,
+                             params)
+        draw_hud(ax, hud, params)
+    else:
+        ax.text(20, 40, f"pos: ({px:.1f}, {py:.1f})  psi: {psi:.1f}",
+                fontsize=8, color="black")
     fig.canvas.draw()
     buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
     import matplotlib.pyplot as plt

@@ -42,6 +42,16 @@ def parse_args(argv=None):
     p.add_argument("--platform", choices=["default", "cpu"], default="default",
                    help="force the CPU backend (e.g. while the accelerator "
                         "is held by a training run)")
+    p.add_argument("--render-every", type=int, default=0, metavar="N",
+                   help="dump a full-HUD PNG frame every N steps of the "
+                        "rendered episodes (the reference renders live "
+                        "during eval, testing_main.py:80; here frames are "
+                        "written offline, never on the device step path)")
+    p.add_argument("--render-episodes", default="1",
+                   help="comma-separated 1-based episode numbers to render "
+                        "(with --render-every)")
+    p.add_argument("--render-dir", default=None,
+                   help="frame output dir (default <run or .>/frames)")
     return p.parse_args(argv)
 
 
@@ -120,6 +130,39 @@ def main(argv=None):
         print(f"Episode {b+1:<3}: Time steps: {k-1:<7} - "
               f"Outcome: {rec['Outcome']:<10} - "
               f"Total Reward = {rec['Total Reward']}")
+
+    if args.render_every > 0:
+        from acas2d_tpu.render import render_frame
+        render_eps = [int(e) for e in args.render_episodes.split(",")]
+        frames_dir = args.render_dir or os.path.join(args.run or ".", "frames")
+        for e in render_eps:
+            b = e - 1
+            tel_b = jax.tree.map(lambda x: np.asarray(x[b]), tel)
+            done_idx = np.nonzero(tel_b.done)[0]
+            k = int(done_idx[0]) + 1 if done_idx.size else T
+            total = 0.0
+            ep_dir = os.path.join(frames_dir, f"episode_{e:03d}")
+            os.makedirs(ep_dir, exist_ok=True)
+            trail = []
+            n_frames = 0
+            for t in range(k):
+                total += float(tel_b.reward[t])
+                trail.append((float(tel_b.px[t]), float(tel_b.py[t])))
+                if t % args.render_every and t != k - 1:
+                    continue
+                frame = render_frame(
+                    tel_b.px[t], tel_b.py[t], tel_b.psi[t],
+                    np.atleast_1d(tel_b.tx[t]), np.atleast_1d(tel_b.ty[t]),
+                    int(nt[b]), P, trail=trail,
+                    tv=tv[b, :1], tpsi=tpsi[b, :1],
+                    a_lat=float(tel_b.a_lat[t]),
+                    # steps counter as displayed live: observe() has run
+                    # once at reset and once per step (game.py:197)
+                    steps=t + 2, episode=e, total_reward=total)
+                import matplotlib.image as mpimg
+                mpimg.imsave(os.path.join(ep_dir, f"step_{t:04d}.png"), frame)
+                n_frames += 1
+            print(f"wrote {n_frames} frames to {ep_dir}", file=sys.stderr)
 
     out = args.out or os.path.join(args.run or ".", f"eval_{B}.csv")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)

@@ -23,6 +23,26 @@ import numpy as np
 
 KEY_ACTIONS = {"a": -1.0, "d": 1.0, "s": 0.0, "j": -0.25, "l": 0.25}
 
+_VIEW_STATE = {}
+
+
+def _show_frame(frame):
+    """Live viewer: one persistent interactive matplotlib window updated
+    in place (the reference's pygame.display.update equivalent)."""
+    import matplotlib
+    import matplotlib.pyplot as plt
+    if "im" not in _VIEW_STATE:
+        plt.ion()
+        fig, ax = plt.subplots(figsize=(10, 6.25))
+        ax.set_axis_off()
+        _VIEW_STATE["fig"] = fig
+        _VIEW_STATE["im"] = ax.imshow(frame)
+        fig.show()
+    else:
+        _VIEW_STATE["im"].set_data(frame)
+    _VIEW_STATE["fig"].canvas.draw_idle()
+    _VIEW_STATE["fig"].canvas.flush_events()
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
@@ -30,8 +50,18 @@ def main(argv=None):
                     help="directory to dump PNG frames into")
     ap.add_argument("--raw", action="store_true",
                     help="unbuffered single-key input (POSIX tty)")
+    ap.add_argument("--view", action="store_true",
+                    help="live matplotlib window with the full reference "
+                         "HUD (needs a display; on headless machines use "
+                         "--frames and view the PNGs)")
     ap.add_argument("--seed", type=int, default=13)
     args = ap.parse_args(argv)
+
+    if args.view and not os.environ.get("DISPLAY"):
+        print("--view needs a display ($DISPLAY unset); falling back to "
+              "--frames manual_frames/", file=sys.stderr)
+        args.view = False
+        args.frames = args.frames or "manual_frames"
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -79,19 +109,25 @@ def main(argv=None):
         obs, reward, done, _ = env.step(np.array([action]))
         total += reward
         t += 1
-        if args.frames:
+        if args.frames or args.view:
             from acas2d_tpu.render import render_frame
             s = env._backend.game_state
             frame = render_frame(float(s.px), float(s.py), float(s.ppsi),
                                  np.asarray(s.tx), np.asarray(s.ty),
-                                 int(s.num_traffic), P)
-            os.makedirs(args.frames, exist_ok=True)
-            try:
-                from PIL import Image
-                Image.fromarray(frame).save(
-                    os.path.join(args.frames, f"f{t:05d}.png"))
-            except ImportError:
-                np.save(os.path.join(args.frames, f"f{t:05d}.npy"), frame)
+                                 int(s.num_traffic), P,
+                                 tv=np.asarray(s.tv), tpsi=np.asarray(s.tpsi),
+                                 a_lat=float(s.pa_lat), steps=int(s.steps),
+                                 episode=1, total_reward=total)
+            if args.view:
+                _show_frame(frame)
+            if args.frames:
+                os.makedirs(args.frames, exist_ok=True)
+                try:
+                    from PIL import Image
+                    Image.fromarray(frame).save(
+                        os.path.join(args.frames, f"f{t:05d}.png"))
+                except ImportError:
+                    np.save(os.path.join(args.frames, f"f{t:05d}.npy"), frame)
         if done:
             print(f"\n== {OUTCOME_NAMES[env.outcome]} at t={t}, "
                   f"total reward {total:.2f} ==")

@@ -116,6 +116,53 @@ def test_render_outputs(tmp_path):
     assert frame.ndim == 3 and frame.shape[2] == 3
 
 
+def test_hud_full_reference_field_set():
+    """The live HUD carries every quantity the reference blits
+    (game.py:350-428): 6 state lines, 7 metric lines, steps/episode, and
+    the 6-line reward block, with the reference's exact label text."""
+    pytest.importorskip("matplotlib")
+    from acas2d_tpu import render
+
+    hud = render.hud_quantities(
+        px=800.0, py=500.0, psi=10.0,
+        tx=np.array([900.0]), ty=np.array([400.0]),
+        tv=np.array([200.0]), tpsi=np.array([160.0]),
+        a_lat=50.0, steps=123, episode=7, total_reward=456.7, params=P)
+    labels = {
+        "pos": "pos: (", "v_air": "v_air:", "psi": "psi:",
+        "psi_dot": "psi_dot:", "a_lat": "a_lat:",
+        "a_lat_norm": "a_lat_norm:",
+        "d_goal": "Distance to goal:",
+        "min_separation": "Min. Separation:",
+        "rel_angle_traffic": "Rel. angle to traffic:",
+        "v_closing": "Closing Speed:",
+        "d_cpa": "Closest approach:",
+        "delta_heading": "Delta heading:",
+        "d_dev": "Plan deviation:",
+        "steps": "Steps: 123", "episode": "Episode: 7",
+        "total_reward": "Total reward: 456.7",
+        "r_heading": "Step heading reward:",
+        "r_cpa": "Step closest approach reward:",
+        "r_goal_dist": "Step goal distance reward:",
+        "r_plan_dev": "Step plan deviation reward:",
+        "r_step": "Step reward:",
+    }
+    assert set(hud) == set(labels)
+    for k, prefix in labels.items():
+        assert hud[k].startswith(prefix), (k, hud[k])
+    # every HUD key has a screen placement and renders into the frame
+    assert {k for k, _, _ in render._HUD_LAYOUT} == set(labels)
+    frame = render.render_frame(
+        800.0, 500.0, 10.0, np.array([900.0]), np.array([400.0]), 1, P,
+        tv=np.array([200.0]), tpsi=np.array([160.0]), a_lat=50.0,
+        steps=123, episode=7, total_reward=456.7)
+    assert frame.ndim == 3 and frame.shape[2] == 3
+    # HUD text adds black pixels vs the bare-scene frame
+    bare = render.render_frame(800.0, 500.0, 10.0, np.array([900.0]),
+                               np.array([400.0]), 1, P)
+    assert (frame < 40).all(axis=-1).sum() > (bare < 40).all(axis=-1).sum()
+
+
 def test_gym_main_replay_actions_artifact_vs_oracle():
     """The reference ships a recorded action sequence (gym_main.py:14,
     'episode 1 in model #5 testing') — a free golden, realistically-shaped
