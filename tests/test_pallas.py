@@ -8,6 +8,7 @@ identical initial states the trajectory must match the reference-parity jnp
 engine to f32 accumulation tolerance.
 """
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -89,3 +90,30 @@ def test_fused_rollout_respawn_statistics():
     assert ep > 0
     assert 0 <= goals + colls <= ep
     assert np.isfinite(np.asarray(stats["reward_sum"])).all()
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(os.environ.get("ACAS2D_TPU_CHECK", "0") != "1",
+                    reason="on-chip check: set ACAS2D_TPU_CHECK=1 (needs a "
+                           "real TPU; ~10 min first Mosaic compile)")
+def test_fused_rollout_on_tpu():
+    """Run scripts/pallas_tpu_check.py in a clean subprocess (default
+    platform, NOT this suite's forced-CPU config): deterministic + 
+    statistical comparison of the Mosaic-lowered kernel vs the XLA engine
+    on the real chip.  The most recent passing run is committed as
+    artifacts/pallas_tpu_check.json."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, "scripts/pallas_tpu_check.py"],
+        capture_output=True, text=True, timeout=2400, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    if "skipped" in result:
+        pytest.skip(result["skipped"])
+    assert result["ok"], result["failures"]
