@@ -1,0 +1,423 @@
+"""Fused policy-in-kernel PPO rollout: MLP forward + env step in one kernel.
+
+The XLA training rollout (ppo/learner.py:collect_rollout) scans T steps,
+each a handful of small device kernels (policy matmuls + env VPU math) with
+the (B,)-state round-tripping through HBM between them; at the tpu preset
+that costs ~6.5 ms of the 17.7 ms iteration (docs/PERFORMANCE.md).  This
+kernel runs K steps per launch with EVERYTHING resident in VMEM:
+
+  * the SB3-architecture actor-critic (models/actor_critic.py) computed
+    in-kernel, feature-major on the MXU: h1 = tanh(W1' @ obs(8,E)),
+    h2 = tanh(W2' @ h1), mean/value heads — E = 1024 envs per program, so
+    every matmul has full 1024-lane utilization;
+  * gaussian sampling via Box-Muller over the counter-based hash RNG
+    (ops/pallas_step.py:_triple32), log-probs of the raw sample
+    (SB3 semantics: env gets the clipped action, log-prob keeps the raw);
+  * the complete autoreset env step (integration, geometry with bug_compat
+    quirks, shaped reward, termination order, masked respawn) — the same
+    semantics as ops/pallas_step.py, plus the observation build
+    (envs/core.py:observe: steps incremented first, 8 features);
+  * per-step rollout buffers (obs, action, logp, value, reward, done) and
+    episode-end records written as (K, ...) VMEM outputs.
+
+The learner scans T/K of these launches (ppo/learner.py:
+collect_rollout_fused) and trains on the returned buffers unchanged — GAE,
+minibatching, and the update are identical.  RNG streams differ from the
+XLA path (hash vs threefry), so fused and unfused runs are statistically
+— not bit — identical; tests/test_pallas_policy.py pins internal
+consistency (stored log-probs/values recomputed with flax on the stored
+obs; stored actions replayed through the XLA engine reproduce the stored
+rewards until each env's first respawn).
+
+Env layout: each grid program owns LANES = 1024 envs as (8, 128) tiles
+(sublane s, lane l; env id = s*128 + l).  The MLP I/O crosses layouts via
+(8,128) <-> (1,1024) reshapes — Mosaic supports these tile collapses — so
+env math stays fully tiled and matrices stay fully laned.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from acas2d_tpu.config import EnvParams, DEFAULT_PARAMS
+from acas2d_tpu.ops.pallas_step import (LANES, DEG2RAD, TWO_PI, _u01_hash,
+                                        _atan, _atan2, _mod360, _mod2pi)
+
+E = LANES                      # envs per grid program (8 x 128 tile)
+
+
+def _flatten_tile(t):
+    """(8, 128) env tile -> (1, 1024) matrix row (env id = s*128 + l)."""
+    return t.reshape(1, E)
+
+
+def _unflatten_row(r):
+    """(1, 1024) matrix row -> (8, 128) env tile."""
+    return r.reshape(8, 128)
+
+
+def fused_policy_rollout_kernel(
+        # scalar prefetch/SMEM operands
+        seed_ref, log_std_ref,
+        # policy weights, pre-transposed host-side (VMEM, replicated)
+        w1_ref, b1_ref, w2_ref, b2_ref, wa_ref, ba_ref,
+        v1_ref, c1_ref, v2_ref, c2_ref, wv_ref, bv_ref,
+        # carried state blocks (1, 8, 128)
+        px0, py0, psi0, tx0, ty0, tv0, tpsi0, steps0, tot0,
+        # carried obs matrix block (1, 8, E)
+        obs0,
+        # step-offset for the RNG counter (SMEM) so chunked launches don't
+        # reuse (base, step) pairs
+        # -- outputs --
+        pxo, pyo, psio, txo, tyo, tvo, tpsio, stepso, toto, obso,
+        obs_buf, act_buf, logp_buf, val_buf, rew_buf, done_buf,
+        ep_ret_buf, ep_len_buf, outcome_buf,
+        *, K: int, p: EnvParams):
+    lane = (jax.lax.broadcasted_iota(jnp.uint32, (8, 128), 0) * 128
+            + jax.lax.broadcasted_iota(jnp.uint32, (8, 128), 1))
+    rng_base = (seed_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                + jnp.uint32(pl.program_id(0)) * jnp.uint32(0xC2B2AE35)
+                + lane * jnp.uint32(0x27D4EB2F))
+    step_off = seed_ref[0, 1]
+
+    dt = jnp.float32(p.dt)
+    v = jnp.float32(p.airspeed)
+    acc = jnp.float32(p.acc_lat_limit)
+    gx = jnp.float32(p.goal_x)
+    gy = jnp.float32(p.goal_y)
+    inv_max_steps = jnp.float32(1.0 / p.max_steps)
+    log_std = jnp.minimum(jnp.maximum(log_std_ref[0, 0], -4.0), 2.0)
+    sigma = jnp.exp(log_std)
+    # log N(x; m, s) = -0.5*((x-m)/s)^2 - log_std - 0.5*log(2pi)
+    logp_const = -log_std - jnp.float32(0.5 * math.log(2.0 * math.pi))
+
+    bearing = jnp.float32(
+        (math.degrees(math.atan2(p.goal_y - p.player_y0,
+                                 p.goal_x - p.player_x0) % TWO_PI)))
+
+    w1 = w1_ref[:]       # (64, 8)
+    b1 = b1_ref[:]       # (64, 1)
+    w2 = w2_ref[:]       # (64, 64)
+    b2 = b2_ref[:]       # (64, 1)
+    wa = wa_ref[:]       # (1, 64)
+    ba = ba_ref[:]       # (1, 1)
+    v1 = v1_ref[:]
+    c1 = c1_ref[:]
+    v2 = v2_ref[:]
+    c2 = c2_ref[:]
+    wv = wv_ref[:]
+    bv = bv_ref[:]
+
+    def policy(M):
+        """Feature-major MLP: M (8, E) -> (mean (1,E), value (1,E))."""
+        h = jnp.tanh(jnp.dot(w1, M, preferred_element_type=jnp.float32) + b1)
+        h = jnp.tanh(jnp.dot(w2, h, preferred_element_type=jnp.float32) + b2)
+        mean = jnp.dot(wa, h, preferred_element_type=jnp.float32) + ba
+        g = jnp.tanh(jnp.dot(v1, M, preferred_element_type=jnp.float32) + c1)
+        g = jnp.tanh(jnp.dot(v2, g, preferred_element_type=jnp.float32) + c2)
+        value = jnp.dot(wv, g, preferred_element_type=jnp.float32) + bv
+        return mean, value
+
+    def spawn(rb_psi, rb_sd, rb_tpsi):
+        """In-kernel respawn (game.py:84-106 distributions)."""
+        psi = _mod360(bearing + (rb_psi * 2.0 - 1.0)
+                      * jnp.float32(p.player_initial_heading_lim))
+        starts_down = (rb_sd < 0.5).astype(jnp.float32)
+        t_y = jnp.float32(p.collision_radius) + starts_down * jnp.float32(
+            p.height - 2 * p.collision_radius)
+        t_psi = _mod360(145.0 + starts_down * 70.0 +
+                        (rb_tpsi * 2.0 - 1.0) * jnp.float32(
+                            p.traffic_initial_heading_lim))
+        return (jnp.full_like(psi, p.player_x0),
+                jnp.full_like(psi, p.player_y0), psi,
+                jnp.full_like(psi, p.width - p.collision_radius), t_y,
+                jnp.full_like(psi, p.airspeed), t_psi)
+
+    def geometry(px, py, psi_rad_cos, psi_rad_sin, psi, tx, ty, tv,
+                 tcos, tsin, a_lat):
+        """Shared player/traffic geometry (game.py:162-191, kinematics.py)."""
+        dxg = gx - px
+        dyg = gy - py
+        d_goal = jnp.sqrt(dxg * dxg + dyg * dyg)
+        h_goal_rad = _mod2pi(_atan2(dyg, dxg))
+        d_dev = d_goal * jnp.sin(h_goal_rad)
+        dxt = tx - px
+        dyt = ty - py
+        d_sep = jnp.sqrt(dxt * dxt + dyt * dyt)
+        # signed CPA distance (kinematics.py:40-49, arctan quirk)
+        v12x = v * psi_rad_cos - tv * tcos
+        v12y = v * psi_rad_sin - tv * tsin
+        h_rel = _atan(v12y / jnp.where(v12x == 0.0, jnp.float32(1e-30), v12x))
+        a_rel = _mod2pi(_atan2(dyt, dxt))
+        d_cpa = d_sep * jnp.sin(a_rel - h_rel)
+        # closing speed lookahead (kinematics.py:52-79 incl. both quirks)
+        psi1l = (psi + (a_lat / v) * dt) * DEG2RAD
+        vx1 = v * jnp.cos(psi1l) * dt
+        vy1 = v * jnp.sin(psi1l) * dt
+        vx2 = tv * tcos * dt
+        vy2 = v * tsin * dt                 # bug_compat: v (player) not tv
+        dpx = (px + vx1) - (tx + vx2)
+        dpy = (py + vy1) - (ty + tv * tsin * dt)
+        nd = jnp.sqrt(dpx * dpx + dpy * dpy)
+        v_closing = (((vx1 - vx2) * dpx + (vy1 - vy2) * dpy) / nd) / dt
+        return d_goal, h_goal_rad, d_dev, d_sep, d_cpa, v_closing
+
+    def build_obs(steps, psi, d_goal, h_goal_rad, d_dev, d_sep, d_cpa,
+                  v_closing):
+        """envs/core.py:observe feature order, feature-major (8, E)."""
+        rows = [
+            steps.astype(jnp.float32) * inv_max_steps,
+            psi * jnp.float32(1.0 / 360.0),
+            d_dev * jnp.float32(1.0 / p.d_dev_max),
+            d_goal * jnp.float32(1.0 / p.d_goal_max),
+            (h_goal_rad * jnp.float32(1.0 / DEG2RAD)) * jnp.float32(1.0 / 360.0),
+            d_sep * jnp.float32(1.0 / p.d_separation_max),
+            d_cpa * jnp.float32(1.0 / p.d_cpa_max),
+            v_closing * jnp.float32(1.0 / p.v_closing_max),
+        ]
+        return jnp.concatenate([_flatten_tile(r) for r in rows], axis=0)
+
+    def body(i, carry):
+        (px, py, psi, tx, ty, tv, tpsi, tcos, tsin, steps, tot, M) = carry
+        step_id = step_off + i
+
+        # ---- policy forward + gaussian sample (SB3 collect_rollouts)
+        mean_row, value_row = policy(M)
+        mean = _unflatten_row(mean_row)
+        value = _unflatten_row(value_row)
+        u1 = _u01_hash(rng_base, step_id, 4)
+        u2 = _u01_hash(rng_base, step_id, 5)
+        z = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(1.0 - u1,
+                                                jnp.float32(1e-12)))) \
+            * jnp.cos(jnp.float32(TWO_PI) * u2)
+        action = mean + sigma * z                      # raw sample
+        dz = (action - mean) / sigma
+        logp = logp_const - 0.5 * dz * dz
+        a_clip = jnp.minimum(jnp.maximum(action, -1.0), 1.0)
+        a_lat = a_clip * acc
+
+        # ---- record pre-step buffers
+        obs_buf[0, i] = M
+        act_buf[0, i] = action
+        logp_buf[0, i] = logp
+        val_buf[0, i] = value
+
+        # ---- integrate player + traffic (aircraft.py:16-26)
+        psi = _mod360(psi + a_lat / v)
+        pr = psi * DEG2RAD
+        cp = jnp.cos(pr)
+        sp = jnp.sin(pr)
+        px = px + v * cp * dt
+        py = py + v * sp * dt
+        tx = tx + tv * tcos * dt
+        ty = ty + tv * tsin * dt
+        steps = steps + 1
+
+        d_goal, h_goal_rad, d_dev, d_sep, d_cpa, v_closing = geometry(
+            px, py, cp, sp, psi, tx, ty, tv, tcos, tsin, a_lat)
+
+        # ---- shaped reward (rewards.py:5-60) + terminal bonuses
+        h_goal_deg = h_goal_rad * jnp.float32(1.0 / DEG2RAD)
+        dh = jnp.abs(psi - h_goal_deg)
+        dh = jnp.minimum(dh, 360.0 - dh)
+        r_head = (1.0 - dh * jnp.float32(1.0 / 180.0)) ** 4
+        r_cpa = jnp.minimum(1.0, (d_cpa * jnp.float32(
+            1.0 / p.safe_distance)) ** 4)
+        dev_frac = jnp.abs(d_dev) * jnp.float32(1.0 / p.d_dev_max_reward)
+        r_dev = jnp.where(dev_frac > 1.0, 0.0,
+                          jnp.sqrt(jnp.maximum(0.0, 1.0 - dev_frac)))
+        r_goal = jnp.minimum(1.0, (1.0 - d_goal * jnp.float32(
+            1.0 / p.d_goal_max_reward)) ** 4)
+        r_step = r_head * jnp.where(v_closing <= 0, r_cpa * r_dev, r_goal)
+
+        collided = d_sep < jnp.float32(2 * p.collision_radius)
+        at_goal = d_goal < jnp.float32(p.goal_radius)
+        timeout = steps > p.max_steps
+        tdf = 1.0 - steps.astype(jnp.float32) * inv_max_steps
+        reward = (r_step * tdf
+                  + jnp.where(collided, jnp.float32(p.reward_collision), 0.0)
+                  + jnp.where(at_goal, jnp.float32(p.reward_goal), 0.0))
+        tot = tot + reward
+
+        # ---- termination precedence timeout > collision > goal
+        done = timeout | collided | at_goal
+        outcome = jnp.where(
+            timeout, 3, jnp.where(collided, 2, jnp.where(at_goal, 1, 0))
+        ).astype(jnp.int32)
+
+        rew_buf[0, i] = reward
+        done_buf[0, i] = done.astype(jnp.float32)
+        ep_ret_buf[0, i] = jnp.where(done, tot, 0.0)
+        ep_len_buf[0, i] = jnp.where(done, steps, 0).astype(jnp.int32)
+        outcome_buf[0, i] = outcome
+
+        # ---- masked respawn (reset_from semantics)
+        (fpx, fpy, fpsi, ftx, fty, ftv, ftpsi) = spawn(
+            _u01_hash(rng_base, step_id, 1), _u01_hash(rng_base, step_id, 2),
+            _u01_hash(rng_base, step_id, 3))
+        ftr = ftpsi * DEG2RAD
+        px = jnp.where(done, fpx, px)
+        py = jnp.where(done, fpy, py)
+        psi = jnp.where(done, fpsi, psi)
+        tx = jnp.where(done, ftx, tx)
+        ty = jnp.where(done, fty, ty)
+        tv = jnp.where(done, ftv, tv)
+        tpsi = jnp.where(done, ftpsi, tpsi)
+        tcos = jnp.where(done, jnp.cos(ftr), tcos)
+        tsin = jnp.where(done, jnp.sin(ftr), tsin)
+        steps = jnp.where(done, 1, steps)       # observe() leaves steps == 1
+        tot = jnp.where(done, 0.0, tot)
+
+        # ---- next observation from the (possibly respawned) state
+        pr = psi * DEG2RAD
+        cp = jnp.cos(pr)
+        sp = jnp.sin(pr)
+        d_goal, h_goal_rad, d_dev, d_sep, d_cpa, v_closing = geometry(
+            px, py, cp, sp, psi, tx, ty, tv, tcos, tsin,
+            jnp.zeros_like(px))
+        M = build_obs(steps, psi, d_goal, h_goal_rad, d_dev, d_sep, d_cpa,
+                      v_closing)
+        return (px, py, psi, tx, ty, tv, tpsi, tcos, tsin, steps, tot, M)
+
+    tr = tpsi0[0] * DEG2RAD
+    init = (px0[0], py0[0], psi0[0], tx0[0], ty0[0], tv0[0], tpsi0[0],
+            jnp.cos(tr), jnp.sin(tr), steps0[0], tot0[0], obs0[0])
+    (px, py, psi, tx, ty, tv, tpsi, _, _, steps, tot, M) = jax.lax.fori_loop(
+        0, K, body, init)
+    pxo[0] = px
+    pyo[0] = py
+    psio[0] = psi
+    txo[0] = tx
+    tyo[0] = ty
+    tvo[0] = tv
+    tpsio[0] = tpsi
+    stepso[0] = steps
+    toto[0] = tot
+    obso[0] = M
+
+
+def _pack_policy_params(params) -> Tuple[jax.Array, ...]:
+    """Flax ActorCritic params -> pre-transposed f32 kernel operands."""
+    pr = params["params"]
+    f32 = jnp.float32
+
+    def kt(tower, layer):
+        return pr[tower][layer]["kernel"].astype(f32).T
+
+    def bc(tower, layer):
+        return pr[tower][layer]["bias"].astype(f32).reshape(-1, 1)
+
+    return (kt("pi_tower", "dense_0"), bc("pi_tower", "dense_0"),
+            kt("pi_tower", "dense_1"), bc("pi_tower", "dense_1"),
+            pr["action_head"]["kernel"].astype(f32).T,
+            pr["action_head"]["bias"].astype(f32).reshape(1, 1),
+            kt("vf_tower", "dense_0"), bc("vf_tower", "dense_0"),
+            kt("vf_tower", "dense_1"), bc("vf_tower", "dense_1"),
+            pr["value_head"]["kernel"].astype(f32).T,
+            pr["value_head"]["bias"].astype(f32).reshape(1, 1))
+
+
+def fused_policy_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
+                         obs, policy_params, seed, step_offset, K: int,
+                         params: EnvParams = DEFAULT_PARAMS,
+                         interpret: bool = False
+                         ) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
+    """Run K fused policy+env autoreset steps.
+
+    Inputs: flat (B,) f32 state arrays + obs (B, 8) + flax params.
+    Returns (final_state dict incl. 'obs' (B,8), buffers dict with leaves
+    (K, B) / obs (K, B, 8)).  `step_offset` advances the per-step RNG
+    counter across chunked launches.
+    """
+    assert params.max_traffic == 1 and params.min_traffic == 1, (
+        "pallas path specializes min_traffic == max_traffic == 1")
+    assert (params.airspeed_factor_min == 1.0
+            and params.airspeed_factor_max == 1.0), (
+        "pallas respawn hard-codes traffic speed == airspeed")
+    B = px.shape[0]
+    assert B % E == 0, f"batch {B} must be a multiple of {E}"
+    G = B // E
+
+    f32 = jnp.float32
+
+    def tile(x, dtype=f32):
+        return x.reshape(G, 8, 128).astype(dtype)
+
+    obs_m = obs.astype(f32).reshape(G, E, 8).swapaxes(1, 2)   # (G, 8f, E)
+
+    ins = [tile(px), tile(py), tile(psi), tile(tx), tile(ty), tile(tv),
+           tile(tpsi), tile(steps, jnp.int32), tile(total_reward), obs_m]
+
+    blk = pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    obs_blk = pl.BlockSpec((1, 8, E), lambda g: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    kbuf = pl.BlockSpec((1, K, 8, 128), lambda g: (g, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    kobs = pl.BlockSpec((1, K, 8, E), lambda g: (g, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    wspec = [pl.BlockSpec(w.shape, lambda g: tuple(0 for _ in w.shape),
+                          memory_space=pltpu.VMEM)
+             for w in _pack_policy_params(policy_params)]
+
+    out_specs = ([blk] * 9 + [obs_blk]
+                 + [kobs] + [kbuf] * 5
+                 + [kbuf] * 3)
+    out_shapes = (
+        [jax.ShapeDtypeStruct((G, 8, 128), f32)] * 7
+        + [jax.ShapeDtypeStruct((G, 8, 128), jnp.int32)]
+        + [jax.ShapeDtypeStruct((G, 8, 128), f32)]
+        + [jax.ShapeDtypeStruct((G, 8, E), f32)]
+        + [jax.ShapeDtypeStruct((G, K, 8, E), f32)]     # obs buffer
+        + [jax.ShapeDtypeStruct((G, K, 8, 128), f32)] * 5
+        + [jax.ShapeDtypeStruct((G, K, 8, 128), f32)] * 2
+        + [jax.ShapeDtypeStruct((G, K, 8, 128), jnp.int32)])
+    # fix ep_len buffer dtype (int32) at index -2
+    out_shapes[-2] = jax.ShapeDtypeStruct((G, K, 8, 128), jnp.int32)
+
+    weights = _pack_policy_params(policy_params)
+    log_std = policy_params["params"]["log_std"].astype(f32).reshape(1, 1)
+
+    kernel = functools.partial(fused_policy_rollout_kernel, K=K, p=params)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=([pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+                   pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
+                  + wspec + [blk] * 9 + [obs_blk]),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(jnp.array([[seed, step_offset]], jnp.int32), log_std,
+      *weights, *ins)
+
+    def flat(x):
+        return x.reshape(B)
+
+    def flat_k(x):
+        return x.swapaxes(0, 1).reshape(K, B)
+
+    state = dict(px=flat(outs[0]), py=flat(outs[1]), psi=flat(outs[2]),
+                 tx=flat(outs[3]), ty=flat(outs[4]), tv=flat(outs[5]),
+                 tpsi=flat(outs[6]), steps=flat(outs[7]),
+                 total_reward=flat(outs[8]),
+                 obs=outs[9].swapaxes(1, 2).reshape(B, 8))
+    buffers = dict(
+        obs=outs[10].transpose(1, 0, 3, 2).reshape(K, B, 8),
+        actions=flat_k(outs[11]),
+        log_probs=flat_k(outs[12]),
+        values=flat_k(outs[13]),
+        rewards=flat_k(outs[14]),
+        dones=flat_k(outs[15]),
+        episode_return=flat_k(outs[16]),
+        episode_steps=flat_k(outs[17]),
+        outcome=flat_k(outs[18]),
+    )
+    return state, buffers

@@ -46,6 +46,13 @@ class PPOConfig:
     # learning_rate=linear_schedule; the reference kept it constant).
     # Large-batch runs converge cleaner with it on.
     anneal_lr: bool = False
+    # Collect the rollout with the fused policy-in-kernel Pallas rollout
+    # (ops/pallas_policy.py): n_steps/fused_chunk kernel launches instead
+    # of n_steps scan iterations of separate policy/env kernels.  Same
+    # optimization semantics; RNG streams differ (statistically, not bit,
+    # identical to the XLA rollout).  TPU only.
+    fused_rollout: bool = False
+    fused_chunk: int = 16
 
     seed: int = 13                   # settings.py:28
 

@@ -133,6 +133,78 @@ def collect_rollout(model: ActorCritic, state: TrainState, cfg: PPOConfig,
     return new_state, batch, last_value, metrics
 
 
+def collect_rollout_fused(model: ActorCritic, state: TrainState,
+                          cfg: PPOConfig, env_params: EnvParams
+                          ) -> Tuple[TrainState, RolloutBatch, jax.Array, Dict]:
+    """collect_rollout via the fused policy-in-kernel Pallas rollout
+    (ops/pallas_policy.py): T/chunk kernel launches instead of T scan
+    iterations of separate policy/env kernels.  Returns the same
+    (state', batch, last_value, metrics) contract; RNG streams differ from
+    the XLA path (hash vs threefry) so results are statistically — not
+    bit — identical."""
+    from acas2d_tpu.ops import pallas_policy
+
+    K = cfg.fused_chunk
+    assert cfg.n_steps % K == 0, (
+        f"n_steps {cfg.n_steps} not divisible by fused_chunk {K}")
+    es = state.env_state
+    key, k_seed = jax.random.split(state.key)
+    seed = jax.random.randint(k_seed, (), 0, jnp.iinfo(jnp.int32).max,
+                              jnp.int32)
+
+    interpret = jax.default_backend() != "tpu"   # CPU: pallas interpreter
+
+    def chunk(carry, idx):
+        flat, obs = carry
+        st, buf = pallas_policy.fused_policy_rollout(
+            flat["px"], flat["py"], flat["psi"], flat["tx"], flat["ty"],
+            flat["tv"], flat["tpsi"], flat["steps"], flat["total_reward"],
+            obs, state.params, seed, idx * K, K, env_params,
+            interpret=interpret)
+        next_obs = st.pop("obs")
+        return (st, next_obs), buf
+
+    flat0 = dict(px=es.px, py=es.py, psi=es.ppsi,
+                 tx=es.tx[:, 0], ty=es.ty[:, 0], tv=es.tv[:, 0],
+                 tpsi=es.tpsi[:, 0], steps=es.steps,
+                 total_reward=es.total_reward)
+    (flatF, obsF), bufs = jax.lax.scan(
+        chunk, (flat0, state.obs.astype(jnp.float32)),
+        jnp.arange(cfg.n_steps // K))
+    # un-chunk: (n_chunks, K, B, ...) -> (T, B, ...)
+    bufs = jax.tree.map(
+        lambda x: x.reshape((cfg.n_steps,) + x.shape[2:]), bufs)
+
+    batch = RolloutBatch(
+        obs=bufs["obs"], actions=bufs["actions"][..., None],
+        log_probs=bufs["log_probs"], values=bufs["values"],
+        rewards=bufs["rewards"], dones=bufs["dones"] > 0)
+    _, _, last_value = model.apply(state.params, obsF)
+
+    env_state = es.replace(
+        px=flatF["px"], py=flatF["py"], ppsi=flatF["psi"],
+        pa_lat=jnp.zeros_like(flatF["px"]),
+        tx=flatF["tx"][:, None], ty=flatF["ty"][:, None],
+        tv=flatF["tv"][:, None], tpsi=flatF["tpsi"][:, None],
+        steps=flatF["steps"], total_reward=flatF["total_reward"],
+        outcome=jnp.zeros_like(es.outcome))
+
+    dones = bufs["dones"]
+    outcome = bufs["outcome"]
+    n_ep = jnp.maximum(dones.sum(), 1)
+    metrics = {
+        "episodes": dones.sum(),
+        "ep_return_mean": bufs["episode_return"].sum() / n_ep,
+        "ep_length_mean": bufs["episode_steps"].sum() / n_ep,
+        "goal_rate": (outcome == 1).sum() / n_ep,
+        "collision_rate": (outcome == 2).sum() / n_ep,
+        "timeout_rate": (outcome == 3).sum() / n_ep,
+    }
+    new_state = state.replace(env_state=env_state, obs=obsF, key=key,
+                              iteration=state.iteration + 1)
+    return new_state, batch, last_value, metrics
+
+
 # ------------------------------------------------------------------- loss
 
 def ppo_loss(params, model: ActorCritic, mb, cfg: PPOConfig):
@@ -230,9 +302,11 @@ def make_train_step(model: ActorCritic, cfg: PPOConfig,
     """Returns jit-able train_step(TrainState) -> (TrainState, metrics):
     one full PPO iteration (rollout + GAE + epochs of updates) on device."""
     tx = make_optimizer(cfg)
+    rollout_fn = (collect_rollout_fused if cfg.fused_rollout
+                  else collect_rollout)
 
     def train_step(state: TrainState):
-        state, batch, last_value, env_metrics = collect_rollout(
+        state, batch, last_value, env_metrics = rollout_fn(
             model, state, cfg, env_params)
         advantages, returns = compute_gae(
             batch.rewards, batch.values, batch.dones, last_value,

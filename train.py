@@ -49,6 +49,13 @@ def parse_args(argv=None):
                         "row shuffle; default auto: 512 at minibatch>=32768)")
     p.add_argument("--anneal-lr", action="store_true",
                    help="linear LR decay to 0 over the run")
+    p.add_argument("--fused-rollout", action="store_true",
+                   help="collect rollouts with the fused policy-in-kernel "
+                        "Pallas rollout (ops/pallas_policy.py; TPU only): "
+                        "one kernel launch per --fused-chunk steps instead "
+                        "of a scan of separate policy/env kernels")
+    p.add_argument("--fused-chunk", type=int, default=None,
+                   help="steps per fused rollout launch (default 16)")
     p.add_argument("--seed", type=int, default=13)
     p.add_argument("--out-dir", default="runs/ppo")
     p.add_argument("--run-name", default=None)
@@ -100,6 +107,10 @@ def build_config(args) -> PPOConfig:
         overrides["shuffle_block_size"] = args.shuffle_block
     if args.anneal_lr:
         overrides["anneal_lr"] = True
+    if args.fused_rollout:
+        overrides["fused_rollout"] = True
+    if args.fused_chunk is not None:
+        overrides["fused_chunk"] = args.fused_chunk
     if args.eval_every is not None:
         overrides["eval_every_steps"] = args.eval_every
     overrides["seed"] = args.seed
