@@ -134,14 +134,20 @@ def collect_rollout(model: ActorCritic, state: TrainState, cfg: PPOConfig,
 
 
 def collect_rollout_fused(model: ActorCritic, state: TrainState,
-                          cfg: PPOConfig, env_params: EnvParams
+                          cfg: PPOConfig, env_params: EnvParams,
+                          mesh=None
                           ) -> Tuple[TrainState, RolloutBatch, jax.Array, Dict]:
     """collect_rollout via the fused policy-in-kernel Pallas rollout
     (ops/pallas_policy.py): T/chunk kernel launches instead of T scan
     iterations of separate policy/env kernels.  Returns the same
     (state', batch, last_value, metrics) contract; RNG streams differ from
     the XLA path (hash vs threefry) so results are statistically — not
-    bit — identical."""
+    bit — identical.
+
+    With `mesh` given, each chunk launch runs under shard_map over the
+    ('env',) axis — one independent kernel grid per device, params
+    replicated, zero collectives (the multi-chip story of
+    parallel/mesh.py, unchanged for the fused path)."""
     from acas2d_tpu.ops import pallas_policy
 
     K = cfg.fused_chunk
@@ -154,13 +160,51 @@ def collect_rollout_fused(model: ActorCritic, state: TrainState,
 
     interpret = jax.default_backend() != "tpu"   # CPU: pallas interpreter
 
-    def chunk(carry, idx):
-        flat, obs = carry
-        st, buf = pallas_policy.fused_policy_rollout(
+    def launch(flat, obs, params, seed, offset):
+        return pallas_policy.fused_policy_rollout(
             flat["px"], flat["py"], flat["psi"], flat["tx"], flat["ty"],
             flat["tv"], flat["tpsi"], flat["steps"], flat["total_reward"],
-            obs, state.params, seed, idx * K, K, env_params,
-            interpret=interpret)
+            obs, params, seed, offset, K, env_params, interpret=interpret)
+
+    if mesh is not None:
+        try:
+            from jax import shard_map                      # jax >= 0.4.35
+            _smap_kw = {"check_vma": False}
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+            _smap_kw = {"check_rep": False}
+        from jax.sharding import PartitionSpec as PS
+        axis = mesh.axis_names[0]
+
+        def sharded_launch(flat, obs, params, seed, offset):
+            # distinct RNG base per shard: program ids restart at 0 in
+            # every shard, so fold the device index into the seed
+            seed = seed + jax.lax.axis_index(axis) * jnp.int32(7919)
+            return launch(flat, obs, params, seed, offset)
+
+        flat_spec = {k: PS(axis) for k in
+                     ("px", "py", "psi", "tx", "ty", "tv", "tpsi",
+                      "steps", "total_reward")}
+        state_out_spec = dict(flat_spec, obs=PS(axis, None))
+        buf_spec = {k: PS(None, axis) for k in
+                    ("actions", "log_probs", "values", "rewards", "dones",
+                     "episode_return", "episode_steps", "outcome")}
+        buf_spec["obs"] = PS(None, axis, None)
+        launch_fn = shard_map(
+            sharded_launch, mesh=mesh,
+            in_specs=(flat_spec, PS(axis, None),
+                      jax.tree.map(lambda _: PS(), state.params),
+                      PS(), PS()),
+            out_specs=(state_out_spec, buf_spec),
+            # the pallas_call's ShapeDtypeStruct outputs carry no vma/rep
+            # annotation; skip the varying-across-mesh check
+            **_smap_kw)
+    else:
+        launch_fn = launch
+
+    def chunk(carry, idx):
+        flat, obs = carry
+        st, buf = launch_fn(flat, obs, state.params, seed, idx * K)
         next_obs = st.pop("obs")
         return (st, next_obs), buf
 
@@ -298,12 +342,17 @@ def ppo_update(model: ActorCritic, tx: optax.GradientTransformation,
 # ------------------------------------------------------------- train step
 
 def make_train_step(model: ActorCritic, cfg: PPOConfig,
-                    env_params: EnvParams) -> Callable:
+                    env_params: EnvParams, mesh=None) -> Callable:
     """Returns jit-able train_step(TrainState) -> (TrainState, metrics):
-    one full PPO iteration (rollout + GAE + epochs of updates) on device."""
+    one full PPO iteration (rollout + GAE + epochs of updates) on device.
+
+    `mesh` is only consulted by the fused Pallas rollout (which needs an
+    explicit shard_map); the XLA path shards transparently through jit."""
     tx = make_optimizer(cfg)
-    rollout_fn = (collect_rollout_fused if cfg.fused_rollout
-                  else collect_rollout)
+    if cfg.fused_rollout:
+        rollout_fn = functools.partial(collect_rollout_fused, mesh=mesh)
+    else:
+        rollout_fn = collect_rollout
 
     def train_step(state: TrainState):
         state, batch, last_value, env_metrics = rollout_fn(
@@ -327,7 +376,8 @@ def make_train_step(model: ActorCritic, cfg: PPOConfig,
 
 
 def make_train_loop(model: ActorCritic, cfg: PPOConfig,
-                    env_params: EnvParams, iters_per_call: int) -> Callable:
+                    env_params: EnvParams, iters_per_call: int,
+                    mesh=None) -> Callable:
     """Returns jit-able train_loop(TrainState) -> (TrainState, metrics):
     `iters_per_call` full PPO iterations fused into ONE device program via
     lax.scan, so the host pays one dispatch + one metrics read-back per K
@@ -337,7 +387,7 @@ def make_train_loop(model: ActorCritic, cfg: PPOConfig,
     training throughput.  Metrics come back stacked with a leading (K,)
     axis — semantically identical to K sequential train_step calls.
     """
-    train_step = make_train_step(model, cfg, env_params)
+    train_step = make_train_step(model, cfg, env_params, mesh)
 
     def train_loop(state: TrainState):
         return jax.lax.scan(lambda s, _: train_step(s), state, None,

@@ -141,3 +141,35 @@ def test_collect_rollout_fused_contract(setup):
     st2, m = step(st)
     assert np.isfinite(float(m["loss"]))
     assert int(st2.iteration) == 1
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_fused_rollout_sharded_over_mesh():
+    """collect_rollout_fused under shard_map on the ('env',) mesh: runs,
+    keeps the batch sharded, distinct RNG per shard (actions differ across
+    shards), and a full fused+sharded train_step returns finite loss."""
+    from acas2d_tpu.parallel import mesh as mesh_lib
+    from acas2d_tpu.ppo import learner
+    from acas2d_tpu.ppo.config import PPOConfig
+
+    model = ActorCritic()
+    cfg = PPOConfig(n_envs=8 * pallas_policy.E, n_steps=8,
+                    minibatch_size=8 * pallas_policy.E * 2,
+                    total_timesteps=8 * pallas_policy.E * 8,
+                    fused_rollout=True, fused_chunk=4)
+    st = learner.init_train_state(jax.random.PRNGKey(2), model, cfg, P)
+    mesh = mesh_lib.make_mesh()
+    st = st.replace(env_state=mesh_lib.shard_env_pytree(st.env_state, mesh),
+                    obs=mesh_lib.shard_env_pytree(st.obs, mesh))
+
+    st2, batch, last_value, metrics = learner.collect_rollout_fused(
+        model, st, cfg, P, mesh=mesh)
+    assert batch.obs.shape == (8, cfg.n_envs, 8)
+    # per-shard RNG streams differ: shard 0 and shard 1 actions not equal
+    a = np.asarray(batch.actions[:, :, 0])
+    assert not np.allclose(a[:, :pallas_policy.E], 
+                           a[:, pallas_policy.E:2 * pallas_policy.E])
+
+    step = jax.jit(learner.make_train_step(model, cfg, P, mesh=mesh))
+    st3, m = step(st)
+    assert np.isfinite(float(m["loss"]))

@@ -147,10 +147,14 @@ def main(argv=None):
 
     # Shard envs across all chips; replicate the tiny policy.
     mesh = mesh_lib.make_mesh()
-    if cfg.n_envs % jax.device_count() == 0 and jax.device_count() > 1:
+    sharded = cfg.n_envs % jax.device_count() == 0 and jax.device_count() > 1
+    if sharded:
         state = state.replace(
             env_state=mesh_lib.shard_env_pytree(state.env_state, mesh),
             obs=mesh_lib.shard_env_pytree(state.obs, mesh))
+    # The fused Pallas rollout needs an explicit shard_map mesh; the XLA
+    # path shards transparently through jit.
+    train_mesh = mesh if (cfg.fused_rollout and sharded) else None
 
     # Global step is derived host-side (iteration * batch) as a Python int:
     # an on-device int32 step counter overflows past 2^31 env-steps.
@@ -174,10 +178,12 @@ def main(argv=None):
         # iterations.  Metrics come back stacked with a leading (K,) axis
         # and are logged per iteration below.
         train_fn = jax.jit(
-            learner.make_train_loop(model, cfg, env_params, iters_per_call),
+            learner.make_train_loop(model, cfg, env_params, iters_per_call,
+                                    mesh=train_mesh),
             donate_argnums=(0,))
     else:
-        train_fn = jax.jit(learner.make_train_step(model, cfg, env_params),
+        train_fn = jax.jit(learner.make_train_step(model, cfg, env_params,
+                                                   mesh=train_mesh),
                            donate_argnums=(0,))
     eval_fn = jax.jit(learner.make_eval_fn(model, cfg, env_params, dtype))
 
