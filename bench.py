@@ -142,10 +142,11 @@ def measure_rollout_at(devices, n_envs: int, T: int, iters: int = 4,
 
 
 def measure_train_at(devices, n_envs: int, n_steps: int, iters: int = 2,
-                     repeats: int = 2) -> float:
+                     repeats: int = 2, fused: bool = False) -> float:
     """Full PPO train_step (rollout + GAE + 10 epochs of minibatch Adam)
     env-steps/s with env state sharded over `devices`; params replicated,
-    gradients all-reduced by XLA (psum over the mesh)."""
+    gradients all-reduced by XLA (psum over the mesh).  `fused` collects
+    the rollout with the policy-in-kernel Pallas path."""
     from acas2d_tpu.models.actor_critic import ActorCritic
     from acas2d_tpu.parallel import mesh as mesh_lib
     from acas2d_tpu.ppo import learner
@@ -155,14 +156,16 @@ def measure_train_at(devices, n_envs: int, n_steps: int, iters: int = 2,
     batch = n_envs * n_steps
     cfg = PPOConfig(n_envs=n_envs, n_steps=n_steps,
                     minibatch_size=max(64, batch // 8),
-                    total_timesteps=batch)
+                    total_timesteps=batch, fused_rollout=fused,
+                    fused_chunk=min(16, n_steps))
     model = ActorCritic()
     st = learner.init_train_state(jax.random.PRNGKey(0), model, cfg, P)
     mesh = mesh_lib.make_mesh(devices)
     st = st.replace(env_state=mesh_lib.shard_env_pytree(st.env_state, mesh),
                     obs=mesh_lib.shard_env_pytree(st.obs, mesh))
-    step = jax.jit(learner.make_train_step(model, cfg, P),
-                   donate_argnums=(0,))
+    step = jax.jit(learner.make_train_step(
+        model, cfg, P, mesh=mesh if (fused and len(devices) > 1) else None),
+        donate_argnums=(0,))
     st, m = step(st)
     assert np.isfinite(np.asarray(m["loss"]))
     best = 0.0
@@ -231,11 +234,43 @@ def scaling_main(args) -> int:
     return 0
 
 
+def train_main(args) -> int:
+    """bench.py --train: end-to-end PPO training env-steps/s (tpu-preset
+    sizes: rollout + GAE + 10 update epochs per iteration), XLA rollout vs
+    the fused policy-in-kernel Pallas rollout."""
+    devs = jax.devices()
+    rows = {}
+    for fused in ([False, True] if args.fused != "off" else [False]):
+        label = "fused" if fused else "xla"
+        try:
+            rows[label] = round(measure_train_at(
+                devs, args.train_envs, args.train_steps, fused=fused), 1)
+        except Exception as e:          # pallas path absent on this backend
+            rows[label] = f"unavailable ({type(e).__name__})"
+    best = max((v for v in rows.values() if isinstance(v, float)),
+               default=0.0)
+    print(json.dumps({
+        "metric": "end-to-end PPO training env-steps/s (rollout+GAE+update)",
+        "value": best,
+        "unit": "env-steps/s",
+        "vs_baseline": round(best / 71.4, 1),   # reference time/fps
+        "paths": rows,
+    }))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scaling", action="store_true",
                     help="weak-scaling efficiency sweep over the env mesh "
                          "instead of the single-chip headline number")
+    ap.add_argument("--train", action="store_true",
+                    help="end-to-end PPO training steps/s (XLA vs fused "
+                         "policy-in-kernel rollout) instead of the env "
+                         "stepping headline")
+    ap.add_argument("--train-envs", type=int, default=4096)
+    ap.add_argument("--fused", choices=["on", "off"], default="on",
+                    help="--train: also measure the fused Pallas rollout")
     ap.add_argument("--mode", choices=["rollout", "train", "both"],
                     default="both", help="--scaling: which path to measure")
     ap.add_argument("--envs-per-device", type=int, default=32768)
@@ -254,6 +289,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.scaling:
         return scaling_main(args)
+    if args.train:
+        return train_main(args)
     n_dev = jax.device_count()
     try:
         sps = measure_pallas()
