@@ -97,6 +97,25 @@ def measure(B: int = 262144, T: int = 256, iters: int = 8,
     return best
 
 
+def _accelerator_healthy(deadline_s: float = 150.0) -> bool:
+    """Probe the default accelerator in a SUBPROCESS with a hard deadline.
+
+    In-process probing cannot work: a wedged tunnel grant hangs the op
+    forever and jax gives no way to abandon an in-flight computation, nor
+    to re-select the platform once the backend is initialized."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "assert jax.devices()[0].platform != 'cpu';"
+             "assert float(jnp.ones((8,8)).sum()) == 64.0"],
+            timeout=deadline_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 # --------------------------------------------------------------- scaling
 
 def _sync(x):
@@ -285,13 +304,32 @@ def main():
                          "XLA_FLAGS=--xla_force_host_platform_device_count=N "
                          "for a virtual mesh)")
     args = ap.parse_args()
+    cpu_fallback = False
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    elif not _accelerator_healthy():
+        # The tunneled TPU grant occasionally wedges (any device op hangs
+        # forever).  A hung benchmark is worse than a CPU number: fall back
+        # loudly instead of timing out the harness.
+        print("accelerator unresponsive (wedged tunnel grant?); "
+              "falling back to the CPU backend", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        cpu_fallback = True
     if args.scaling:
         return scaling_main(args)
     if args.train:
         return train_main(args)
     n_dev = jax.device_count()
+    if cpu_fallback:
+        sps = measure(B=16384, T=64, iters=4, repeats=2)
+        print(json.dumps({
+            "metric": "env-steps/s per chip (batched ACAS-2D autoreset, "
+                      "XLA vmap+scan, CPU FALLBACK — accelerator wedged)",
+            "value": round(sps, 1),
+            "unit": "env-steps/s/chip",
+            "vs_baseline": round(sps / REFERENCE_STEPS_PER_S, 1),
+        }))
+        return 0
     try:
         sps = measure_pallas()
         path = "pallas fused rollout"
