@@ -230,3 +230,23 @@ def test_baseline_100_episodes_bitexact_count(tmp_path):
         if np.array_equal(np_, rp):
             bitexact += 1
     assert bitexact >= 90, f"only {bitexact}/100 bit-exact"
+
+
+def test_eval_render_frames(tmp_path):
+    """eval.py --render-every dumps full-HUD PNG frames for the selected
+    episodes (the reference renders live during eval, testing_main.py:80)."""
+    pytest.importorskip("matplotlib")
+    import eval as eval_driver
+
+    out = str(tmp_path / "e.csv")
+    fdir = str(tmp_path / "frames")
+    rc = eval_driver.main([
+        "--params-npz", "artifacts/ppo_ref_s8_best.npz",
+        "--episodes", "2", "--out", out,
+        "--render-every", "400", "--render-episodes", "1,2",
+        "--render-dir", fdir, "--platform", "cpu"])
+    assert rc == 0
+    for e in (1, 2):
+        pngs = sorted(os.listdir(os.path.join(fdir, f"episode_{e:03d}")))
+        assert len(pngs) >= 2          # at least first + final frame
+        assert all(p.endswith(".png") for p in pngs)
