@@ -68,13 +68,15 @@ def export_run(run_dir: str, name: str, with_params: bool):
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     sweep_dir = argv[0] if argv else os.path.join(REPO, "runs", "parity")
-    # ref_s9/env8_s2: endpoint-parity curves (final 10-episode eval ~1195 at
-    # exactly 2048*512 steps).  ref_s8: the most ROBUST policy of the sweep —
-    # its best checkpoint scores 1215 mean / 98% goal over 64 fresh episodes
-    # (10-episode evals are noisy; see tests/test_parity_artifacts.py) —
-    # only it ships policy params.
-    exports = argv[1:] or ["ref_s9", "env8_s2", "ref_s8"]
-    params_for = {"ref_s8"}
+    # Headline: ref_s12 — a reference-config run whose FINAL checkpoint is
+    # both endpoint-parity (10-ep eval 1215.2 at exactly 2048*512 steps vs
+    # the reference's 1198.22) and robust (1203.4 mean / 100% goal over 64
+    # fresh episodes).  ref_s9/env8_s2: additional endpoint-parity curves
+    # (~1195 final).  ref_s8: best-during-training policy, 1215/98% at 64
+    # episodes.  env8_s8: the 8-env variant's robust endpoint (1233/100%).
+    exports = argv[1:] or ["ref_s12", "ref_s9", "env8_s2", "ref_s8",
+                           "env8_s8"]
+    params_for = {"ref_s8", "ref_s12", "env8_s8"}
 
     summary = {}
     for d in sorted(glob.glob(os.path.join(sweep_dir, "*_s*", ""))):

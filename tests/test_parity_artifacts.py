@@ -28,7 +28,8 @@ REF_FINAL = 1198.22   # reference final eval mean (SURVEY.md §6)
 REF_BEST = 1226.55
 
 
-@pytest.mark.parametrize("name", ["ppo_ref_s9", "ppo_env8_s2"])
+@pytest.mark.parametrize("name", ["ppo_ref_s12", "ppo_ref_s9",
+                                  "ppo_env8_s2", "ppo_env8_s8"])
 def test_committed_curve_matches_reference_endpoint(name):
     d = np.load(os.path.join(ART, f"{name}_evaluations.npz"))
     steps, results = d["timesteps"], d["results"]
@@ -61,14 +62,23 @@ def test_curve_comparable_to_reference_npz():
 
 
 @pytest.mark.slow
-def test_params_artifact_reproduces_return():
-    """The shipped headline policy (ppo_ref_s8_best.npz, trained within the
-    reference's exact 1-env config and sample budget) achieves >=1100 mean
-    greedy eval return and >=90% goal rate over 64 FRESH episodes — a
-    stricter protocol than the reference's own 10-episode eval (its final:
-    1198 +- 85 over 10 episodes).  10-episode evals are noisy: several sweep
-    members scoring ~1200/10-ep drop to 750-1000 at 64 episodes; this
-    artifact is the sweep's most robust policy (measured 1215, goal 0.98)."""
+@pytest.mark.parametrize("name,min_ret,min_goal", [
+    # headline: the FINAL checkpoint of a reference-config run — endpoint
+    # parity (1215.2/10-ep at exactly 1,048,576 steps vs reference 1198.22)
+    # AND robust (measured 1203.4 mean, 100% goals over 64 fresh episodes)
+    ("ppo_ref_s12_best.npz", 1150.0, 0.97),
+    # best-during-training policy of another seed (measured 1215, 98%)
+    ("ppo_ref_s8_best.npz", 1100.0, 0.9),
+    # the 8-env variant's robust endpoint (measured 1233, 100%)
+    ("ppo_env8_s8_best.npz", 1150.0, 0.97),
+])
+def test_params_artifact_reproduces_return(name, min_ret, min_goal):
+    """Shipped policies achieve their claimed mean greedy eval return and
+    goal rate over 64 FRESH episodes — a stricter protocol than the
+    reference's own 10-episode eval (its final: 1198 +- 85 over 10
+    episodes).  10-episode evals are noisy: several sweep members scoring
+    ~1200/10-ep drop to 750-1000 at 64 episodes; these artifacts are the
+    members that hold up."""
     import jax
     from acas2d_tpu.config import DEFAULT_PARAMS
     from acas2d_tpu.models.actor_critic import ActorCritic
@@ -76,11 +86,11 @@ def test_params_artifact_reproduces_return():
     from acas2d_tpu.ppo.config import PPOConfig
     from acas2d_tpu.utils.params_io import load_params_npz
 
-    params = load_params_npz(os.path.join(ART, "ppo_ref_s8_best.npz"))
+    params = load_params_npz(os.path.join(ART, name))
     cfg = PPOConfig(eval_episodes=64)
     eval_fn = jax.jit(learner.make_eval_fn(
         ActorCritic(), cfg, DEFAULT_PARAMS))
     m = jax.device_get(eval_fn(params, jax.random.PRNGKey(123)))
     assert m["eval_done_all"]
-    assert float(m["eval_return_mean"]) >= 1100.0, m
-    assert float(m["eval_goal_rate"]) >= 0.9, m
+    assert float(m["eval_return_mean"]) >= min_ret, m
+    assert float(m["eval_goal_rate"]) >= min_goal, m
