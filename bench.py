@@ -97,23 +97,28 @@ def measure(B: int = 262144, T: int = 256, iters: int = 8,
     return best
 
 
-def _accelerator_healthy(deadline_s: float = 150.0) -> bool:
+def _accelerator_healthy(deadline_s: float = 270.0, attempts: int = 2) -> bool:
     """Probe the default accelerator in a SUBPROCESS with a hard deadline.
 
     In-process probing cannot work: a wedged tunnel grant hangs the op
     forever and jax gives no way to abandon an in-flight computation, nor
-    to re-select the platform once the backend is initialized."""
+    to re-select the platform once the backend is initialized.  A fresh
+    process can take minutes to acquire the tunnel grant even when the
+    device is healthy, so the deadline is generous and probed twice."""
     import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "assert jax.devices()[0].platform != 'cpu';"
-             "assert float(jnp.ones((8,8)).sum()) == 64.0"],
-            timeout=deadline_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for _ in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "assert jax.devices()[0].platform != 'cpu';"
+                 "assert float(jnp.ones((8,8)).sum()) == 64.0"],
+                timeout=deadline_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 # --------------------------------------------------------------- scaling
