@@ -24,6 +24,10 @@ def _enable_compilation_cache():
         return
     import jax
 
+    # Respect a cache the application (or another library) configured first
+    # — this is a default, not an override.
+    if jax.config.jax_compilation_cache_dir is not None:
+        return
     jax.config.update(
         "jax_compilation_cache_dir",
         _os.environ.get("JAX_COMPILATION_CACHE_DIR",

@@ -48,7 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from acas2d_tpu.config import EnvParams, DEFAULT_PARAMS
 from acas2d_tpu.ops.pallas_step import (LANES, DEG2RAD, TWO_PI, _u01_hash,
-                                        _atan, _atan2, _mod360, _mod2pi)
+                                        _mod360, env_geometry, goal_bearing,
+                                        respawn, shaped_step_reward)
 
 E = LANES                      # envs per grid program (8 x 128 tile)
 
@@ -98,9 +99,7 @@ def fused_policy_rollout_kernel(
     # log N(x; m, s) = -0.5*((x-m)/s)^2 - log_std - 0.5*log(2pi)
     logp_const = -log_std - jnp.float32(0.5 * math.log(2.0 * math.pi))
 
-    bearing = jnp.float32(
-        (math.degrees(math.atan2(p.goal_y - p.player_y0,
-                                 p.goal_x - p.player_x0) % TWO_PI)))
+    bearing = goal_bearing(p)
 
     w1 = w1_ref[:]       # (64, 8)
     b1 = b1_ref[:]       # (64, 1)
@@ -124,50 +123,6 @@ def fused_policy_rollout_kernel(
         g = jnp.tanh(jnp.dot(v2, g, preferred_element_type=jnp.float32) + c2)
         value = jnp.dot(wv, g, preferred_element_type=jnp.float32) + bv
         return mean, value
-
-    def spawn(rb_psi, rb_sd, rb_tpsi):
-        """In-kernel respawn (game.py:84-106 distributions)."""
-        psi = _mod360(bearing + (rb_psi * 2.0 - 1.0)
-                      * jnp.float32(p.player_initial_heading_lim))
-        starts_down = (rb_sd < 0.5).astype(jnp.float32)
-        t_y = jnp.float32(p.collision_radius) + starts_down * jnp.float32(
-            p.height - 2 * p.collision_radius)
-        t_psi = _mod360(145.0 + starts_down * 70.0 +
-                        (rb_tpsi * 2.0 - 1.0) * jnp.float32(
-                            p.traffic_initial_heading_lim))
-        return (jnp.full_like(psi, p.player_x0),
-                jnp.full_like(psi, p.player_y0), psi,
-                jnp.full_like(psi, p.width - p.collision_radius), t_y,
-                jnp.full_like(psi, p.airspeed), t_psi)
-
-    def geometry(px, py, psi_rad_cos, psi_rad_sin, psi, tx, ty, tv,
-                 tcos, tsin, a_lat):
-        """Shared player/traffic geometry (game.py:162-191, kinematics.py)."""
-        dxg = gx - px
-        dyg = gy - py
-        d_goal = jnp.sqrt(dxg * dxg + dyg * dyg)
-        h_goal_rad = _mod2pi(_atan2(dyg, dxg))
-        d_dev = d_goal * jnp.sin(h_goal_rad)
-        dxt = tx - px
-        dyt = ty - py
-        d_sep = jnp.sqrt(dxt * dxt + dyt * dyt)
-        # signed CPA distance (kinematics.py:40-49, arctan quirk)
-        v12x = v * psi_rad_cos - tv * tcos
-        v12y = v * psi_rad_sin - tv * tsin
-        h_rel = _atan(v12y / jnp.where(v12x == 0.0, jnp.float32(1e-30), v12x))
-        a_rel = _mod2pi(_atan2(dyt, dxt))
-        d_cpa = d_sep * jnp.sin(a_rel - h_rel)
-        # closing speed lookahead (kinematics.py:52-79 incl. both quirks)
-        psi1l = (psi + (a_lat / v) * dt) * DEG2RAD
-        vx1 = v * jnp.cos(psi1l) * dt
-        vy1 = v * jnp.sin(psi1l) * dt
-        vx2 = tv * tcos * dt
-        vy2 = v * tsin * dt                 # bug_compat: v (player) not tv
-        dpx = (px + vx1) - (tx + vx2)
-        dpy = (py + vy1) - (ty + tv * tsin * dt)
-        nd = jnp.sqrt(dpx * dpx + dpy * dpy)
-        v_closing = (((vx1 - vx2) * dpx + (vy1 - vy2) * dpy) / nd) / dt
-        return d_goal, h_goal_rad, d_dev, d_sep, d_cpa, v_closing
 
     def build_obs(steps, psi, d_goal, h_goal_rad, d_dev, d_sep, d_cpa,
                   v_closing):
@@ -220,22 +175,14 @@ def fused_policy_rollout_kernel(
         ty = ty + tv * tsin * dt
         steps = steps + 1
 
-        d_goal, h_goal_rad, d_dev, d_sep, d_cpa, v_closing = geometry(
-            px, py, cp, sp, psi, tx, ty, tv, tcos, tsin, a_lat)
+        d_goal, h_goal_rad, d_dev, d_sep, d_cpa, v_closing = env_geometry(
+            px, py, cp, sp, psi, tx, ty, tv, tcos, tsin, a_lat,
+            v=v, dt=dt, gx=gx, gy=gy)
 
         # ---- shaped reward (rewards.py:5-60) + terminal bonuses
         h_goal_deg = h_goal_rad * jnp.float32(1.0 / DEG2RAD)
-        dh = jnp.abs(psi - h_goal_deg)
-        dh = jnp.minimum(dh, 360.0 - dh)
-        r_head = (1.0 - dh * jnp.float32(1.0 / 180.0)) ** 4
-        r_cpa = jnp.minimum(1.0, (d_cpa * jnp.float32(
-            1.0 / p.safe_distance)) ** 4)
-        dev_frac = jnp.abs(d_dev) * jnp.float32(1.0 / p.d_dev_max_reward)
-        r_dev = jnp.where(dev_frac > 1.0, 0.0,
-                          jnp.sqrt(jnp.maximum(0.0, 1.0 - dev_frac)))
-        r_goal = jnp.minimum(1.0, (1.0 - d_goal * jnp.float32(
-            1.0 / p.d_goal_max_reward)) ** 4)
-        r_step = r_head * jnp.where(v_closing <= 0, r_cpa * r_dev, r_goal)
+        r_step = shaped_step_reward(psi, h_goal_deg, d_goal, d_dev, d_cpa,
+                                    v_closing, p=p)
 
         collided = d_sep < jnp.float32(2 * p.collision_radius)
         at_goal = d_goal < jnp.float32(p.goal_radius)
@@ -259,9 +206,9 @@ def fused_policy_rollout_kernel(
         outcome_buf[0, i] = outcome
 
         # ---- masked respawn (reset_from semantics)
-        (fpx, fpy, fpsi, ftx, fty, ftv, ftpsi) = spawn(
+        (fpx, fpy, fpsi, ftx, fty, ftv, ftpsi) = respawn(
             _u01_hash(rng_base, step_id, 1), _u01_hash(rng_base, step_id, 2),
-            _u01_hash(rng_base, step_id, 3))
+            _u01_hash(rng_base, step_id, 3), p=p, bearing=bearing)
         ftr = ftpsi * DEG2RAD
         px = jnp.where(done, fpx, px)
         py = jnp.where(done, fpy, py)
@@ -275,13 +222,17 @@ def fused_policy_rollout_kernel(
         steps = jnp.where(done, 1, steps)       # observe() leaves steps == 1
         tot = jnp.where(done, 0.0, tot)
 
-        # ---- next observation from the (possibly respawned) state
+        # ---- next observation from the (possibly respawned) state.
+        # observe()'s closing-speed lookahead uses state.pa_lat — the
+        # lateral acceleration just applied this step (envs/core.py), which
+        # is 0 only for freshly respawned envs.
         pr = psi * DEG2RAD
         cp = jnp.cos(pr)
         sp = jnp.sin(pr)
-        d_goal, h_goal_rad, d_dev, d_sep, d_cpa, v_closing = geometry(
+        d_goal, h_goal_rad, d_dev, d_sep, d_cpa, v_closing = env_geometry(
             px, py, cp, sp, psi, tx, ty, tv, tcos, tsin,
-            jnp.zeros_like(px))
+            jnp.where(done, jnp.float32(0.0), a_lat),
+            v=v, dt=dt, gx=gx, gy=gy)
         M = build_obs(steps, psi, d_goal, h_goal_rad, d_dev, d_sep, d_cpa,
                       v_closing)
         return (px, py, psi, tx, ty, tv, tpsi, tcos, tsin, steps, tot, M)
@@ -341,6 +292,9 @@ def fused_policy_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
     assert (params.airspeed_factor_min == 1.0
             and params.airspeed_factor_max == 1.0), (
         "pallas respawn hard-codes traffic speed == airspeed")
+    assert params.bug_compat, (
+        "pallas kernels bake in the reference's bug_compat kinematics "
+        "quirks; use the XLA rollout for corrected physics")
     B = px.shape[0]
     assert B % E == 0, f"batch {B} must be a multiple of {E}"
     G = B // E
@@ -363,7 +317,10 @@ def fused_policy_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
                         memory_space=pltpu.VMEM)
     kobs = pl.BlockSpec((1, K, 8, E), lambda g: (g, 0, 0, 0),
                         memory_space=pltpu.VMEM)
-    wspec = [pl.BlockSpec(w.shape, lambda g: tuple(0 for _ in w.shape),
+    # bind the rank per-operand (a bare `lambda g: ... w ...` would
+    # late-bind the loop variable and give every index map the last
+    # operand's rank)
+    wspec = [pl.BlockSpec(w.shape, lambda g, r=len(w.shape): (0,) * r,
                           memory_space=pltpu.VMEM)
              for w in _pack_policy_params(policy_params)]
 

@@ -58,8 +58,16 @@ def _triple32(x):
 
 def _u01_hash(base, step, salt):
     """Counter-based float32 uniform in [0,1) per lane: hash of
-    (base=seed+program+lane, step, salt), top 24 bits."""
-    x = base + jnp.uint32(step * jnp.uint32(0x9E3779B9)) + jnp.uint32(
+    (base=seed+program+lane, step, salt), top 24 bits.
+
+    The step multiplier is deliberately DIFFERENT from the seed multiplier
+    used to build `base` (0x9E3779B9): with equal multipliers the hash input
+    depends on seed and step only through their sum, so a small seed shift
+    (e.g. the per-shard `seed + axis_index * 7919` decorrelation in
+    ppo/learner.py) would replay another shard's stream at a step offset.
+    Distinct odd multipliers make a seed delta equivalent to a ~uniform
+    32-bit step delta — never reachable within a rollout."""
+    x = base + jnp.uint32(step * jnp.uint32(0x7FEB352D)) + jnp.uint32(
         salt * jnp.uint32(0x85EBCA6B))
     bits = _triple32(x)
     # Mosaic lacks a direct uint32->f32 cast; (bits >> 8) < 2^24 so the
@@ -111,6 +119,88 @@ def _mod2pi(x):
     return x - TWO_PI * jnp.floor(x / TWO_PI)
 
 
+# --------------------------------------------------------- shared physics
+# In-kernel restatements of the environment semantics, shared by the
+# random-action rollout kernel below and the policy-in-kernel rollout
+# (ops/pallas_policy.py) so the quirk-laden math exists exactly once.
+
+def goal_bearing(p: EnvParams) -> jnp.float32:
+    """Initial player bearing to the goal in degrees (game.py:91)."""
+    return jnp.float32(
+        math.degrees(math.atan2(p.goal_y - p.player_y0,
+                                p.goal_x - p.player_x0) % TWO_PI))
+
+
+def respawn(rb_psi, rb_sd, rb_tpsi, *, p: EnvParams, bearing):
+    """In-kernel respawn from three uniform draws (game.py:84-106
+    distributions; specialized to one constant-speed traffic aircraft —
+    asserted by the kernel wrappers)."""
+    psi = _mod360(bearing + (rb_psi * 2.0 - 1.0)
+                  * jnp.float32(p.player_initial_heading_lim))
+    starts_down = (rb_sd < 0.5).astype(jnp.float32)
+    t_y = jnp.float32(p.collision_radius) + starts_down * jnp.float32(
+        p.height - 2 * p.collision_radius)
+    t_psi = _mod360(145.0 + starts_down * 70.0 +
+                    (rb_tpsi * 2.0 - 1.0) * jnp.float32(
+                        p.traffic_initial_heading_lim))
+    return (jnp.full_like(psi, p.player_x0),
+            jnp.full_like(psi, p.player_y0), psi,
+            jnp.full_like(psi, p.width - p.collision_radius), t_y,
+            jnp.full_like(psi, p.airspeed), t_psi)
+
+
+def env_geometry(px, py, cp, sp, psi, tx, ty, tv, tcos, tsin, a_lat,
+                 *, v, dt, gx, gy):
+    """Player/goal/traffic geometry (game.py:162-191, kinematics.py)
+    including the bug_compat quirks: the arctan quadrant collapse in the
+    signed CPA distance (kinematics.py:47), the missing /dt in the closing
+    -speed heading lookahead (:57,:67) and the v_air aircraft-1/2 typo
+    (:74).  `a_lat` is the lateral acceleration the lookahead assumes the
+    player holds (the engine's state.pa_lat at observe time)."""
+    dxg = gx - px
+    dyg = gy - py
+    d_goal = jnp.sqrt(dxg * dxg + dyg * dyg)
+    h_goal_rad = _mod2pi(_atan2(dyg, dxg))
+    d_dev = d_goal * jnp.sin(h_goal_rad)
+    dxt = tx - px
+    dyt = ty - py
+    d_sep = jnp.sqrt(dxt * dxt + dyt * dyt)
+    # signed closest-approach distance (kinematics.py:40-49, arctan quirk)
+    v12x = v * cp - tv * tcos
+    v12y = v * sp - tv * tsin
+    h_rel = _atan(v12y / jnp.where(v12x == 0.0, jnp.float32(1e-30), v12x))
+    a_rel = _mod2pi(_atan2(dyt, dxt))
+    d_cpa = d_sep * jnp.sin(a_rel - h_rel)
+    # closing speed via one-step lookahead (kinematics.py:52-79)
+    psi1l = (psi + (a_lat / v) * dt) * DEG2RAD
+    vx1 = v * jnp.cos(psi1l) * dt
+    vy1 = v * jnp.sin(psi1l) * dt
+    vx2 = tv * tcos * dt
+    vy2 = v * tsin * dt                     # bug_compat: v (player) not tv
+    dpx = (px + vx1) - (tx + vx2)
+    dpy = (py + vy1) - (ty + tv * tsin * dt)
+    nd = jnp.sqrt(dpx * dpx + dpy * dpy)
+    v_closing = (((vx1 - vx2) * dpx + (vy1 - vy2) * dpy) / nd) / dt
+    return d_goal, h_goal_rad, d_dev, d_sep, d_cpa, v_closing
+
+
+def shaped_step_reward(psi, h_goal_deg, d_goal, d_dev, d_cpa, v_closing,
+                       *, p: EnvParams):
+    """step_reward_5 (rewards.py:5-60): multiplicative gating, branch on
+    approach (v_closing <= 0) vs separation."""
+    dh = jnp.abs(psi - h_goal_deg)
+    dh = jnp.minimum(dh, 360.0 - dh)
+    r_head = (1.0 - dh * jnp.float32(1.0 / 180.0)) ** 4
+    r_cpa = jnp.minimum(1.0, (d_cpa * jnp.float32(
+        1.0 / p.safe_distance)) ** 4)
+    dev_frac = jnp.abs(d_dev) * jnp.float32(1.0 / p.d_dev_max_reward)
+    r_dev = jnp.where(dev_frac > 1.0, 0.0,
+                      jnp.sqrt(jnp.maximum(0.0, 1.0 - dev_frac)))
+    r_goal = jnp.minimum(1.0, (1.0 - d_goal * jnp.float32(
+        1.0 / p.d_goal_max_reward)) ** 4)
+    return r_head * jnp.where(v_closing <= 0, r_cpa * r_dev, r_goal)
+
+
 def fused_rollout_kernel(seed_ref,                       # SMEM (1,1) int32
                          px0, py0, psi0, tx0, ty0, tv0, tpsi0, steps0, tot0,
                          pxo, pyo, psio, txo, tyo, tvo, tpsio, stepso, toto,
@@ -130,28 +220,7 @@ def fused_rollout_kernel(seed_ref,                       # SMEM (1,1) int32
     gy = jnp.float32(p.goal_y)
     inv_max_steps = jnp.float32(1.0 / p.max_steps)
 
-    bearing = jnp.float32(
-        (math.degrees(math.atan2(p.goal_y - p.player_y0,
-                                 p.goal_x - p.player_x0) % TWO_PI)))
-
-    def spawn(rb_psi, rb_sd, rb_tpsi):
-        """In-kernel respawn (game.py:84-106 distributions)."""
-        psi = _mod360(bearing +
-                      (rb_psi * 2.0 - 1.0) * jnp.float32(
-                          p.player_initial_heading_lim))
-        starts_down = (rb_sd < 0.5).astype(jnp.float32)
-        t_y = jnp.float32(p.collision_radius) + starts_down * jnp.float32(
-            p.height - 2 * p.collision_radius)
-        t_psi = _mod360(145.0 + starts_down * 70.0 +
-                        (rb_tpsi * 2.0 - 1.0) * jnp.float32(
-                            p.traffic_initial_heading_lim))
-        return (jnp.full_like(psi, p.player_x0),
-                jnp.full_like(psi, p.player_y0),
-                psi,
-                jnp.full_like(psi, p.width - p.collision_radius),
-                t_y,
-                jnp.full_like(psi, p.airspeed),
-                t_psi)
+    bearing = goal_bearing(p)
 
     def body(i, carry):
         (px, py, psi, tx, ty, tv, tpsi, tcos, tsin,
@@ -177,55 +246,12 @@ def fused_rollout_kernel(seed_ref,                       # SMEM (1,1) int32
 
         steps = steps + 1
 
-        # ---- shared geometry (game.py:162-191, kinematics.py)
-        dxg = gx - px
-        dyg = gy - py
-        d_goal = jnp.sqrt(dxg * dxg + dyg * dyg)
-        h_goal_rad = _mod2pi(_atan2(dyg, dxg))
+        d_goal, h_goal_rad, d_dev, d_sep, d_cpa, v_closing = env_geometry(
+            px, py, cp, sp, psi, tx, ty, tv, tcos, tsin, a_lat,
+            v=v, dt=dt, gx=gx, gy=gy)
         h_goal_deg = h_goal_rad * jnp.float32(1.0 / DEG2RAD)
-        d_dev = d_goal * jnp.sin(h_goal_rad)
-
-        dxt = tx - px
-        dyt = ty - py
-        d_sep = jnp.sqrt(dxt * dxt + dyt * dyt)
-
-        # signed closest-approach distance (kinematics.py:40-49, arctan quirk)
-        v12x = v * cp - tv * tcos
-        v12y = v * sp - tv * tsin
-        h_rel = _atan(v12y / jnp.where(v12x == 0.0, jnp.float32(1e-30), v12x))
-        a_rel = _mod2pi(_atan2(dyt, dxt))
-        d_cpa = d_sep * jnp.sin(a_rel - h_rel)
-
-        # closing speed via one-step lookahead (kinematics.py:52-79,
-        # incl. the missing /dt and the v_air typo on AC2's y-velocity)
-        psi1l = (psi + (a_lat / v) * dt) * DEG2RAD
-        c1 = jnp.cos(psi1l)
-        s1 = jnp.sin(psi1l)
-        vx1 = v * c1 * dt
-        vy1 = v * s1 * dt
-        nx1 = px + vx1
-        ny1 = py + vy1
-        vx2 = tv * tcos * dt
-        vy2 = v * tsin * dt                     # bug_compat: v (player) not tv
-        nx2 = tx + vx2
-        ny2 = ty + tv * tsin * dt
-        dpx = nx1 - nx2
-        dpy = ny1 - ny2
-        nd = jnp.sqrt(dpx * dpx + dpy * dpy)
-        v_closing = (((vx1 - vx2) * dpx + (vy1 - vy2) * dpy) / nd) / dt
-
-        # ---- shaped reward (rewards.py:5-60)
-        dh = jnp.abs(psi - h_goal_deg)
-        dh = jnp.minimum(dh, 360.0 - dh)
-        r_head = (1.0 - dh * jnp.float32(1.0 / 180.0)) ** 4
-        r_cpa = jnp.minimum(1.0, (d_cpa * jnp.float32(
-            1.0 / p.safe_distance)) ** 4)
-        dev_frac = jnp.abs(d_dev) * jnp.float32(1.0 / p.d_dev_max_reward)
-        r_dev = jnp.where(dev_frac > 1.0, 0.0,
-                          jnp.sqrt(jnp.maximum(0.0, 1.0 - dev_frac)))
-        r_goal = jnp.minimum(1.0, (1.0 - d_goal * jnp.float32(
-            1.0 / p.d_goal_max_reward)) ** 4)
-        r_step = r_head * jnp.where(v_closing <= 0, r_cpa * r_dev, r_goal)
+        r_step = shaped_step_reward(psi, h_goal_deg, d_goal, d_dev, d_cpa,
+                                    v_closing, p=p)
 
         collided = d_sep < jnp.float32(2 * p.collision_radius)
         at_goal = d_goal < jnp.float32(p.goal_radius)
@@ -243,9 +269,9 @@ def fused_rollout_kernel(seed_ref,                       # SMEM (1,1) int32
         cc = cc + (collided & (steps <= p.max_steps)).astype(jnp.int32)
 
         # ---- masked in-graph respawn
-        (fpx, fpy, fpsi, ftx, fty, ftv, ftpsi) = spawn(
+        (fpx, fpy, fpsi, ftx, fty, ftv, ftpsi) = respawn(
             _u01_hash(rng_base, i, 1), _u01_hash(rng_base, i, 2),
-            _u01_hash(rng_base, i, 3))
+            _u01_hash(rng_base, i, 3), p=p, bearing=bearing)
         ftr = ftpsi * DEG2RAD
         ftcos = jnp.cos(ftr)
         ftsin = jnp.sin(ftr)
@@ -312,6 +338,10 @@ def fused_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
         "pallas respawn hard-codes traffic speed == airspeed "
         f"(got factor range {params.airspeed_factor_min}.."
         f"{params.airspeed_factor_max}); use envs/vector.py")
+    assert params.bug_compat, (
+        "pallas kernels bake in the reference's bug_compat kinematics "
+        "quirks (kinematics.py:47,57,67,74); use envs/vector.py for "
+        "corrected physics (bug_compat=False)")
     B = px.shape[0]
     assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
     G = B // LANES

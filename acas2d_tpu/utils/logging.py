@@ -47,7 +47,27 @@ class MetricsLogger:
                 self._tb = None
 
     def _open_csv(self, fields):
-        self._fields = list(fields)
+        """Open the CSV for append with a header that is the union of the
+        file's existing header (a resumed run may have logged columns this
+        process never will) and `fields`; rewrite the file if the header
+        must widen (old rows get empty cells in the new columns)."""
+        fields = list(fields)
+        existing = []
+        if os.path.exists(self.csv_path) and os.path.getsize(self.csv_path):
+            with open(self.csv_path, newline="") as f:
+                reader = csv.DictReader(f)
+                existing = list(reader.fieldnames or [])
+                old_rows = (list(reader)
+                            if any(k not in existing for k in fields) else None)
+            if old_rows is not None:
+                merged = existing + [k for k in fields if k not in existing]
+                with open(self.csv_path, "w", newline="") as f:
+                    w = csv.DictWriter(f, fieldnames=merged,
+                                       extrasaction="ignore")
+                    w.writeheader()
+                    w.writerows(old_rows)
+                existing = merged
+        self._fields = existing or fields
         self._csv_file = open(self.csv_path, "a", newline="")
         self._csv_writer = csv.DictWriter(self._csv_file,
                                           fieldnames=self._fields,
@@ -56,18 +76,11 @@ class MetricsLogger:
             self._csv_writer.writeheader()
 
     def _widen_csv(self, new_fields):
-        """A later log() introduced keys unseen in the header: rewrite the
-        CSV in place with the widened field set (old rows get empty cells)
-        instead of silently dropping the new columns."""
+        """A later log() introduced keys unseen in the header: reopen with
+        the widened field set instead of silently dropping the columns."""
         self._csv_file.close()
-        with open(self.csv_path, newline="") as f:
-            old_rows = list(csv.DictReader(f))
-        fields = self._fields + [k for k in new_fields if k not in self._fields]
-        with open(self.csv_path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
-            w.writeheader()
-            w.writerows(old_rows)
-        self._open_csv(fields)
+        self._open_csv(self._fields
+                       + [k for k in new_fields if k not in self._fields])
 
     def log(self, metrics: Dict, step: Optional[int] = None):
         row = {k: _to_py(v) for k, v in metrics.items()}

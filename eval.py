@@ -76,6 +76,22 @@ def main(argv=None):
     dtype = jnp.float64 if args.exact else jnp.float32
     B, T = args.episodes, P.max_steps
 
+    # validate render selection up front: a bad value must not discard a
+    # completed eval (the CSV is written after the render block)
+    render_eps = []
+    if args.render_every > 0:
+        try:
+            render_eps = [int(e) for e in args.render_episodes.split(",")]
+        except ValueError:
+            print(f"error: --render-episodes {args.render_episodes!r} is not "
+                  "a comma-separated list of integers", file=sys.stderr)
+            return 2
+        bad = [e for e in render_eps if not 1 <= e <= B]
+        if bad:
+            print(f"error: --render-episodes {bad} out of range 1..{B} "
+                  "(--episodes)", file=sys.stderr)
+            return 2
+
     model = ActorCritic()
     if args.params_npz:
         from acas2d_tpu.utils.params_io import load_params_npz
@@ -133,7 +149,6 @@ def main(argv=None):
 
     if args.render_every > 0:
         from acas2d_tpu.render import render_frame
-        render_eps = [int(e) for e in args.render_episodes.split(",")]
         frames_dir = args.render_dir or os.path.join(args.run or ".", "frames")
         for e in render_eps:
             b = e - 1

@@ -74,6 +74,22 @@ def test_fused_rollout_atan_helpers():
                                atol=1e-6)
 
 
+def test_hash_rng_seed_shift_does_not_alias_step_shift():
+    """Regression: _u01_hash must use DIFFERENT multipliers for seed (in
+    rng_base) and step, else shard d+1's stream (seed + d*7919,
+    ppo/learner.py) replays shard d's at a +7919 step offset."""
+    lane = jnp.arange(64, dtype=jnp.uint32)
+
+    def base(seed):
+        return (jnp.uint32(seed) * jnp.uint32(0x9E3779B9)
+                + lane * jnp.uint32(0x27D4EB2F))
+
+    for delta in (1, 7919):
+        a = np.asarray(pallas_step._u01_hash(base(13 + delta), 100, 4))
+        b = np.asarray(pallas_step._u01_hash(base(13), 100 + delta, 4))
+        assert not np.array_equal(a, b), f"seed shift {delta} aliases step"
+
+
 def test_fused_rollout_respawn_statistics():
     """Long random-action rollout: episodes end and respawn in-kernel;
     outcome mix must be sane (every episode is goal, collision or timeout)."""

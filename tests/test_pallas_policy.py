@@ -81,13 +81,16 @@ def test_stored_actions_replay_through_xla_engine(setup):
         np.asarray(out.reward)[alive], atol=5e-3, rtol=1e-4)
     np.testing.assert_array_equal(dones[alive],
                                   np.asarray(out.done)[alive])
-    # obs the kernel fed the policy at step t+1 == engine obs after step t
+    # obs the kernel fed the policy at step t+1 == engine obs after step t.
+    # Tolerance pins the exact observe() semantics (incl. the a_lat the
+    # closing-speed lookahead assumes): only f32-vs-engine rounding and the
+    # kernel's ~3e-7-rad atan approximation remain.
     obs_k = np.asarray(buf["obs"])[1:]
     obs_x = np.asarray(out.obs)[:-1]
     m = alive[:-1][..., None] & alive[1:][..., None]
     np.testing.assert_allclose(obs_k[np.broadcast_to(m, obs_k.shape)],
                                obs_x[np.broadcast_to(m, obs_x.shape)],
-                               atol=2e-4)
+                               atol=2e-5)
 
 
 def test_chunk_offset_continues_stream(setup):
