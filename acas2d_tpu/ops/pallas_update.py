@@ -1,0 +1,289 @@
+"""Fused PPO minibatch gradient kernel: forward + backward in VMEM.
+
+After the policy-in-kernel rollout (ops/pallas_policy.py) cut the rollout
+to ~1.7 ms/iteration, the 10 epochs x 8 minibatches of Adam steps dominate
+end-to-end training (~11 of ~14 ms at the tpu preset, docs/PERFORMANCE.md).
+Each XLA grad step is HBM-bound, not MXU-bound: the (64, N) tower
+activations (16 MB each at N=65536) round-trip HBM between the forward
+matmuls and again in the backward pass — ~10x more traffic than the 3.4 MB
+minibatch itself.
+
+This kernel computes the full clipped-PPO loss gradient for one minibatch
+in ONE kernel: a sequential grid streams the minibatch from HBM in
+(13, C)-column chunks, runs the actor-critic forward (feature-major MXU
+matmuls, as in pallas_policy) and the hand-derived backward entirely in
+VMEM, and accumulates parameter gradients + loss statistics across chunks
+in revisited output blocks.  HBM traffic per grad step drops to one read
+of the minibatch.  Optimization semantics are EXACTLY ppo/learner.py:
+ppo_loss — same clip/min branch structure (including where gradients are
+zeroed by clipping), the log-ratio safety clamp, SB3's per-minibatch
+advantage normalization (applied host-side before the kernel, it needs the
+full-minibatch mean/std), the straight-through log-std clamp
+(models/actor_critic.py:70-71), and unclipped value MSE.  Gradient-norm
+clipping and Adam stay in XLA (they touch only the ~5k parameters).
+
+Like the other pallas paths this is TPU-only (interpret=True on CPU) and
+single-device per call; the data-parallel story is unchanged — run it
+under shard_map / jit sharding with XLA inserting the gradient psum, or
+keep the XLA update for multi-chip (ppo/learner.py decides).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from acas2d_tpu.ops.pallas_policy import _pack_policy_params
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+# data-matrix row layout (matches learner.ppo_update's packed (N, 13)
+# matrix with the advantage column already normalized per minibatch)
+_OBS, _ACT, _LOGP, _VAL, _ADV, _RET = 0, 8, 9, 10, 11, 12
+N_COLS = 13
+
+
+def _ppo_grad_kernel(log_std_ref,
+                     w1_ref, b1_ref, w2_ref, b2_ref, wa_ref, ba_ref,
+                     v1_ref, c1_ref, v2_ref, c2_ref, wv_ref, bv_ref,
+                     data_ref,
+                     # outputs: grads in kernel (feature-major) layout
+                     dw1, db1, dw2, db2, dwa, dba,
+                     dv1, dc1, dv2, dc2, dwv, dbv, dls,
+                     # loss-statistic sums over rows
+                     pl_sum, vl_sum, kl_sum, cf_sum,
+                     *, n_rows: int, clip_range: float, vf_coef: float):
+    grads = (dw1, db1, dw2, db2, dwa, dba,
+             dv1, dc1, dv2, dc2, dwv, dbv, dls,
+             pl_sum, vl_sum, kl_sum, cf_sum)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for g in grads:
+            g[...] = jnp.zeros(g.shape, g.dtype)
+
+    inv_n = jnp.float32(1.0 / n_rows)
+    eps = jnp.float32(clip_range)
+    cls = jnp.minimum(jnp.maximum(log_std_ref[0, 0], -4.0), 2.0)
+    var = jnp.exp(2.0 * cls)
+
+    d = data_ref[:]                     # (13, C)
+    x = d[_OBS:_ACT, :]                 # (8, C)
+    act = d[_ACT:_LOGP, :]              # (1, C)
+    old_logp = d[_LOGP:_VAL, :]
+    adv = d[_ADV:_RET, :]               # pre-normalized per minibatch
+    ret = d[_RET:N_COLS, :]
+
+    w1 = w1_ref[:]
+    w2 = w2_ref[:]
+    wa = wa_ref[:]
+    v1 = v1_ref[:]
+    v2 = v2_ref[:]
+    wv = wv_ref[:]
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def dot_cc(a, b):
+        """Contract the last (lane/C) dim of both: (m, C) x (n, C) -> (m, n)
+        without materializing a transpose relayout."""
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dot_ff(a, b):
+        """Contract the first (feature) dim of both: (k, m) x (k, C)
+        -> (m, C) — a.T @ b without the transpose relayout."""
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    # ---- forward (feature-major; matches models/actor_critic.py)
+    h1 = jnp.tanh(dot(w1, x) + b1_ref[:])
+    h2 = jnp.tanh(dot(w2, h1) + b2_ref[:])
+    mean = dot(wa, h2) + ba_ref[:]              # (1, C)
+    g1 = jnp.tanh(dot(v1, x) + c1_ref[:])
+    g2 = jnp.tanh(dot(v2, g1) + c2_ref[:])
+    value = dot(wv, g2) + bv_ref[:]             # (1, C)
+
+    diff = act - mean
+    logp = -0.5 * (diff * diff / var + 2.0 * cls + jnp.float32(LOG_2PI))
+    delta = logp - old_logp
+    # the learner's exp-overflow clamp (learner.ppo_loss): grad is zeroed
+    # outside the clamp, exactly like jnp.clip
+    delta_in = jnp.abs(delta) < 20.0
+    delta_c = jnp.minimum(jnp.maximum(delta, -20.0), 20.0)
+    ratio = jnp.exp(delta_c)
+
+    in_band = (ratio > 1.0 - eps) & (ratio < 1.0 + eps)
+    unclipped = adv * ratio
+    clipped = adv * jnp.minimum(jnp.maximum(ratio, 1.0 - eps), 1.0 + eps)
+    pl_i = -jnp.minimum(unclipped, clipped)
+
+    verr = value - ret
+
+    # ---- loss statistics
+    # (1,1)-shaped sums: Mosaic cannot store scalars to VMEM
+    pl_sum[...] += jnp.sum(pl_i, keepdims=True)
+    vl_sum[...] += jnp.sum(verr * verr, keepdims=True)
+    kl_sum[...] += jnp.sum((ratio - 1.0) - delta_c, keepdims=True)
+    cf_sum[...] += jnp.sum((jnp.abs(ratio - 1.0) > eps)
+                           .astype(jnp.float32), keepdims=True)
+
+    # ---- backward
+    # d policy_loss / d ratio = -(adv * sel) / N:  inside the clip band both
+    # min() branches have derivative adv; outside, min() selects the
+    # unclipped branch (derivative adv) exactly when clipping would have
+    # HELPED the objective (adv>0, ratio low / adv<0, ratio high), else the
+    # clipped branch whose derivative is 0.
+    sel = (in_band | ((adv > 0.0) & (ratio < 1.0 - eps))
+           | ((adv < 0.0) & (ratio > 1.0 + eps)))
+    dlogp = (-(adv * ratio) * inv_n) * (
+        sel & delta_in).astype(jnp.float32)     # dL/dlogp  (1, C)
+    dmean = dlogp * (diff / var)                # dlogp/dmean = diff/var
+    # d logp / d log_std = diff^2/var - 1 (straight-through through clamp)
+    dls[...] += jnp.sum(dlogp * (diff * diff / var - 1.0), keepdims=True)
+
+    dvalue = (jnp.float32(vf_coef) * 2.0 * inv_n) * verr    # (1, C)
+
+    def tower_bwd(dout, wout, hb, ha, win, xin, douts):
+        """Backprop Dense->tanh->Dense->tanh->Dense given head grad dout.
+
+        douts = (dW_in, db_in, dW_hid, db_hid, dW_head, db_head) refs."""
+        dwh_in, dbh_in, dwh_hid, dbh_hid, dwh_head, dbh_head = douts
+        dwh_head[...] += dot_cc(dout, hb)
+        dbh_head[...] += jnp.sum(dout, keepdims=True)
+        dh2 = dot_ff(wout, dout)
+        e2 = dh2 * (1.0 - hb * hb)
+        dwh_hid[...] += dot_cc(e2, ha)
+        dbh_hid[...] += jnp.sum(e2, axis=1, keepdims=True)
+        dh1 = dot_ff(win, e2)
+        e1 = dh1 * (1.0 - ha * ha)
+        dwh_in[...] += dot_cc(e1, xin)
+        dbh_in[...] += jnp.sum(e1, axis=1, keepdims=True)
+
+    tower_bwd(dmean, wa, h2, h1, w2, x, (dw1, db1, dw2, db2, dwa, dba))
+    tower_bwd(dvalue, wv, g2, g1, v2, x, (dv1, dc1, dv2, dc2, dwv, dbv))
+
+
+def _grad_out_shapes():
+    f32 = jnp.float32
+    s = jax.ShapeDtypeStruct
+    return [s((64, 8), f32), s((64, 1), f32),      # dw1, db1
+            s((64, 64), f32), s((64, 1), f32),     # dw2, db2
+            s((1, 64), f32), s((1, 1), f32),       # dwa, dba
+            s((64, 8), f32), s((64, 1), f32),      # dv1, dc1
+            s((64, 64), f32), s((64, 1), f32),     # dv2, dc2
+            s((1, 64), f32), s((1, 1), f32),       # dwv, dbv
+            s((1, 1), f32),                        # dls
+            s((1, 1), f32), s((1, 1), f32),        # pl_sum, vl_sum
+            s((1, 1), f32), s((1, 1), f32)]        # kl_sum, cf_sum
+
+
+def _chunk_cols(n_rows: int, max_c: int = 2048) -> int:
+    """Largest lane-aligned chunk <= max_c that divides the minibatch."""
+    c = max_c
+    while c >= 128:
+        if n_rows % c == 0:
+            return c
+        c //= 2
+    raise ValueError(
+        f"fused update needs minibatch_size divisible by 128, got {n_rows}")
+
+
+def supported(minibatch_size: int) -> bool:
+    return minibatch_size % 128 == 0
+
+
+def ppo_minibatch_grads(params, mb_data: jax.Array, *, clip_range: float,
+                        vf_coef: float, ent_coef: float,
+                        normalize_advantage: bool = True,
+                        interpret: bool = False, max_chunk: int = 2048
+                        ) -> Tuple[Dict, Dict[str, jax.Array]]:
+    """Gradients of learner.ppo_loss for one packed minibatch.
+
+    `mb_data` is the learner's (mb_size, 13) packed matrix
+    [obs(8), action, old_logp, old_value, advantage, return] with the RAW
+    advantage column (normalized here, per minibatch, like the XLA loss).
+    Returns (grads pytree matching the flax params, aux metrics dict with
+    the same keys as ppo_loss).
+    """
+    n = mb_data.shape[0]
+    assert mb_data.shape[1] == N_COLS, (
+        f"fused update specializes obs_dim=8 / act_dim=1 "
+        f"(packed width 13, got {mb_data.shape[1]})")
+    C = _chunk_cols(n, max_chunk)
+    f32 = jnp.float32
+
+    if normalize_advantage:
+        advn = mb_data[:, _ADV]
+        advn = (advn - advn.mean()) / (advn.std() + 1e-8)
+        mb_data = mb_data.at[:, _ADV].set(advn)
+    dataT = mb_data.astype(f32).T               # (13, n): one cheap transpose
+
+    weights = _pack_policy_params(params)
+    log_std = params["params"]["log_std"].astype(f32).reshape(1, 1)
+
+    wspec = [pl.BlockSpec(w.shape, lambda g, r=len(w.shape): (0,) * r,
+                          memory_space=pltpu.VMEM) for w in weights]
+    dspec = pl.BlockSpec((N_COLS, C), lambda g: (0, g),
+                         memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec(s.shape, lambda g, r=len(s.shape): (0,) * r,
+                              memory_space=pltpu.VMEM)
+                 for s in _grad_out_shapes()]
+
+    kernel = functools.partial(_ppo_grad_kernel, n_rows=n,
+                               clip_range=clip_range, vf_coef=vf_coef)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n // C,),
+        in_specs=([pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
+                  + wspec + [dspec]),
+        out_specs=out_specs,
+        out_shape=_grad_out_shapes(),
+        interpret=interpret,
+    )(log_std, *weights, dataT)
+
+    (dw1, db1, dw2, db2, dwa, dba,
+     dv1, dc1, dv2, dc2, dwv, dbv, dls,
+     pl_sum, vl_sum, kl_sum, cf_sum) = outs
+
+    # entropy term: entropy = 0.5*(1+log 2pi) + log_std (scalar); the loss
+    # adds ent_coef * (-entropy), whose log_std gradient is -ent_coef
+    dls_total = dls[0, 0] - jnp.float32(ent_coef)
+
+    def unpack(dk, db):
+        """Kernel layout (out_feat, in_feat) -> flax (in, out) + (out,)."""
+        return {"kernel": dk.T, "bias": db.reshape(-1)}
+
+    ref = params["params"]
+    grads = {"params": {
+        "pi_tower": {"dense_0": unpack(dw1, db1),
+                     "dense_1": unpack(dw2, db2)},
+        "vf_tower": {"dense_0": unpack(dv1, dc1),
+                     "dense_1": unpack(dv2, dc2)},
+        "action_head": unpack(dwa, dba),
+        "value_head": unpack(dwv, dbv),
+        "log_std": dls_total.reshape(ref["log_std"].shape),
+    }}
+    grads = jax.tree.map(lambda g, p: g.astype(p.dtype), grads, params)
+
+    inv_n = 1.0 / n
+    cls = jnp.clip(params["params"]["log_std"].astype(f32)[0], -4.0, 2.0)
+    policy_loss = pl_sum[0, 0] * inv_n
+    value_loss = vl_sum[0, 0] * inv_n
+    entropy = jnp.float32(0.5 * (1.0 + LOG_2PI)) + cls
+    aux = {
+        "policy_loss": policy_loss,
+        "value_loss": value_loss,
+        "entropy": entropy,
+        "approx_kl": kl_sum[0, 0] * inv_n,
+        "clip_fraction": cf_sum[0, 0] * inv_n,
+        "loss": (policy_loss + ent_coef * (-entropy)
+                 + vf_coef * value_loss),
+    }
+    return grads, aux

@@ -53,6 +53,15 @@ class PPOConfig:
     # identical to the XLA rollout).  TPU only.
     fused_rollout: bool = False
     fused_chunk: int = 16
+    # Compute each minibatch's PPO-loss gradient with the fused Pallas
+    # forward+backward kernel (ops/pallas_update.py): activations stay in
+    # VMEM instead of round-tripping HBM between the XLA fwd/bwd matmuls.
+    # Bit-compatible loss semantics (grads match jax.grad to f32 rounding);
+    # grad-clip + Adam stay in XLA.  TPU only; single-device per call
+    # (pallas_call does not partition under jit sharding — keep the XLA
+    # update for multi-chip training); needs minibatch_size % 128 == 0 and
+    # the default (64,64)/obs-8 architecture.
+    fused_update: bool = False
 
     seed: int = 13                   # settings.py:28
 

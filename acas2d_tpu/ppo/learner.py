@@ -315,6 +315,12 @@ def ppo_update(model: ActorCritic, tx: optax.GradientTransformation,
                 adv[..., 0], ret[..., 0])
 
     grad_fn = jax.value_and_grad(ppo_loss, has_aux=True)
+    if cfg.fused_update:
+        from acas2d_tpu.ops import pallas_update
+        assert pallas_update.supported(cfg.minibatch_size), (
+            f"fused_update needs minibatch_size % 128 == 0, "
+            f"got {cfg.minibatch_size}")
+        fused_interpret = jax.default_backend() != "tpu"
 
     def epoch_body(carry, k_epoch):
         params, opt_state = carry
@@ -324,10 +330,18 @@ def ppo_update(model: ActorCritic, tx: optax.GradientTransformation,
 
         def mb_body(carry, mb):
             params, opt_state = carry
-            (loss, aux), grads = grad_fn(params, model, unpack(mb), cfg)
+            if cfg.fused_update:
+                # mb is already the kernel's packed (mb_size, 13) layout
+                grads, aux = pallas_update.ppo_minibatch_grads(
+                    params, mb, clip_range=cfg.clip_range,
+                    vf_coef=cfg.vf_coef, ent_coef=cfg.ent_coef,
+                    normalize_advantage=cfg.normalize_advantage,
+                    interpret=fused_interpret)
+            else:
+                (loss, aux), grads = grad_fn(params, model, unpack(mb), cfg)
+                aux["loss"] = loss
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            aux["loss"] = loss
             return (params, opt_state), aux
 
         (params, opt_state), aux = jax.lax.scan(mb_body, (params, opt_state), mbs)

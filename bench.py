@@ -166,11 +166,13 @@ def measure_rollout_at(devices, n_envs: int, T: int, iters: int = 4,
 
 
 def measure_train_at(devices, n_envs: int, n_steps: int, iters: int = 2,
-                     repeats: int = 2, fused: bool = False) -> float:
+                     repeats: int = 2, fused: bool = False,
+                     fused_update: bool = False) -> float:
     """Full PPO train_step (rollout + GAE + 10 epochs of minibatch Adam)
     env-steps/s with env state sharded over `devices`; params replicated,
     gradients all-reduced by XLA (psum over the mesh).  `fused` collects
-    the rollout with the policy-in-kernel Pallas path."""
+    the rollout with the policy-in-kernel Pallas path; `fused_update`
+    computes minibatch gradients with the fused fwd+bwd kernel."""
     from acas2d_tpu.models.actor_critic import ActorCritic
     from acas2d_tpu.parallel import mesh as mesh_lib
     from acas2d_tpu.ppo import learner
@@ -181,7 +183,8 @@ def measure_train_at(devices, n_envs: int, n_steps: int, iters: int = 2,
     cfg = PPOConfig(n_envs=n_envs, n_steps=n_steps,
                     minibatch_size=max(64, batch // 8),
                     total_timesteps=batch, fused_rollout=fused,
-                    fused_chunk=min(16, n_steps))
+                    fused_chunk=min(16, n_steps),
+                    fused_update=fused_update)
     model = ActorCritic()
     st = learner.init_train_state(jax.random.PRNGKey(0), model, cfg, P)
     mesh = mesh_lib.make_mesh(devices)
@@ -263,12 +266,16 @@ def train_main(args) -> int:
     sizes: rollout + GAE + 10 update epochs per iteration), XLA rollout vs
     the fused policy-in-kernel Pallas rollout."""
     devs = jax.devices()
+    variants = [("xla", False, False)]
+    if args.fused != "off":
+        variants += [("fused_rollout", True, False),
+                     ("fused_rollout+update", True, True)]
     rows = {}
-    for fused in ([False, True] if args.fused != "off" else [False]):
-        label = "fused" if fused else "xla"
+    for label, fr, fu in variants:
         try:
             rows[label] = round(measure_train_at(
-                devs, args.train_envs, args.train_steps, fused=fused), 1)
+                devs, args.train_envs, args.train_steps,
+                fused=fr, fused_update=fu), 1)
         except Exception as e:          # pallas path absent on this backend
             rows[label] = f"unavailable ({type(e).__name__})"
     best = max((v for v in rows.values() if isinstance(v, float)),

@@ -56,6 +56,11 @@ def parse_args(argv=None):
                         "of a scan of separate policy/env kernels")
     p.add_argument("--fused-chunk", type=int, default=None,
                    help="steps per fused rollout launch (default 16)")
+    p.add_argument("--fused-update", action="store_true",
+                   help="compute each PPO minibatch gradient with the fused "
+                        "Pallas forward+backward kernel "
+                        "(ops/pallas_update.py; TPU only, single device, "
+                        "minibatch %% 128 == 0)")
     p.add_argument("--seed", type=int, default=13)
     p.add_argument("--out-dir", default="runs/ppo")
     p.add_argument("--run-name", default=None)
@@ -111,6 +116,8 @@ def build_config(args) -> PPOConfig:
         overrides["fused_rollout"] = True
     if args.fused_chunk is not None:
         overrides["fused_chunk"] = args.fused_chunk
+    if args.fused_update:
+        overrides["fused_update"] = True
     if args.eval_every is not None:
         overrides["eval_every_steps"] = args.eval_every
     overrides["seed"] = args.seed
