@@ -23,9 +23,17 @@ full-minibatch mean/std), the straight-through log-std clamp
 clipping and Adam stay in XLA (they touch only the ~5k parameters).
 
 Like the other pallas paths this is TPU-only (interpret=True on CPU) and
-single-device per call; the data-parallel story is unchanged — run it
-under shard_map / jit sharding with XLA inserting the gradient psum, or
-keep the XLA update for multi-chip (ppo/learner.py decides).
+single-device per call.  Multi-device training runs it through
+learner.make_fused_grads_fn, which shard_maps the minibatch rows over the
+('env',) mesh and pmeans gradients/statistics; calling it directly with
+inputs sharded under jit auto-sharding is NOT supported (pallas_call does
+not partition) and learner guards against it.
+
+Bit-compatibility caveat: `in_band` uses strict inequalities while the XLA
+loss's jnp.clip/jnp.minimum have their own tie-breaking, so gradients can
+deviate from jax.grad on the measure-zero boundary points ratio ==
+1 +- clip_range and |delta| == 20 exactly; everywhere else they match to
+f32 rounding (tests/test_pallas_update.py, scripts/pallas_tpu_check.py).
 """
 
 from __future__ import annotations

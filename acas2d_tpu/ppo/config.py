@@ -57,10 +57,11 @@ class PPOConfig:
     # forward+backward kernel (ops/pallas_update.py): activations stay in
     # VMEM instead of round-tripping HBM between the XLA fwd/bwd matmuls.
     # Bit-compatible loss semantics (grads match jax.grad to f32 rounding);
-    # grad-clip + Adam stay in XLA.  TPU only; single-device per call
-    # (pallas_call does not partition under jit sharding — keep the XLA
-    # update for multi-chip training); needs minibatch_size % 128 == 0 and
-    # the default (64,64)/obs-8 architecture.
+    # grad-clip + Adam stay in XLA.  TPU only; multi-device runs shard_map
+    # the kernel over the env mesh with pmean-ed grads
+    # (learner.make_fused_grads_fn — pass mesh= to make_train_step); needs
+    # (minibatch_size / n_devices) % 128 == 0 and the default
+    # (64,64)/obs-8 architecture.
     fused_update: bool = False
 
     seed: int = 13                   # settings.py:28

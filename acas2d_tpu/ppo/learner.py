@@ -285,10 +285,77 @@ def ppo_loss(params, model: ActorCritic, mb, cfg: PPOConfig):
 
 # ----------------------------------------------------------------- update
 
+def make_fused_grads_fn(cfg: PPOConfig, mesh=None) -> Callable:
+    """Minibatch-gradient callable `(params, packed_mb) -> (grads, aux)` for
+    the fused Pallas update kernel (ops/pallas_update.py).
+
+    Single device (mesh=None): one pallas_call over the whole minibatch.
+    With a mesh: minibatch rows are shard_mapped over the mesh's env axis —
+    each device runs the kernel on its local rows and gradients/loss
+    statistics are pmean-ed, the same psum-over-ICI data-parallel pattern
+    XLA inserts for the unfused grad path.  SB3's per-minibatch advantage
+    normalization needs full-minibatch statistics, so it runs in XLA
+    *before* the shard_map (the kernel then sees pre-normalized rows).
+
+    Raises on the one unsupported configuration: multiple devices visible
+    but no mesh — an un-shard_mapped pallas_call does not partition under
+    jit auto-sharding, it would gather the minibatch onto one device.
+    """
+    from acas2d_tpu.ops import pallas_update
+
+    interpret = jax.default_backend() != "tpu"
+    if mesh is None and jax.device_count() > 1:
+        raise ValueError(
+            "cfg.fused_update on a multi-device backend needs an explicit "
+            "mesh (pass mesh= to make_train_step) so the kernel runs under "
+            "shard_map; an un-shard_mapped pallas_call does not partition "
+            "under jit auto-sharding")
+    n_shards = mesh.size if mesh is not None else 1
+    assert (cfg.minibatch_size % n_shards == 0
+            and pallas_update.supported(cfg.minibatch_size // n_shards)), (
+        f"fused_update needs (minibatch_size / n_devices) % 128 == 0, got "
+        f"minibatch {cfg.minibatch_size} over {n_shards} devices")
+
+    kernel_kw = dict(clip_range=cfg.clip_range, vf_coef=cfg.vf_coef,
+                     ent_coef=cfg.ent_coef, interpret=interpret)
+    if mesh is None:
+        return functools.partial(
+            pallas_update.ppo_minibatch_grads,
+            normalize_advantage=cfg.normalize_advantage, **kernel_kw)
+
+    try:
+        from jax import shard_map                      # jax >= 0.4.35
+        _smap_kw = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        _smap_kw = {"check_rep": False}
+    from jax.sharding import PartitionSpec as PS
+    axis = mesh.axis_names[0]
+
+    def local_grads(params, mb):
+        grads, aux = pallas_update.ppo_minibatch_grads(
+            params, mb, normalize_advantage=False, **kernel_kw)
+        # equal shard sizes: the global mean is the mean of shard means
+        return jax.lax.pmean(grads, axis), jax.lax.pmean(aux, axis)
+
+    smapped = shard_map(local_grads, mesh=mesh,
+                        in_specs=(PS(), PS(axis)),
+                        out_specs=(PS(), PS()), **_smap_kw)
+
+    def fused_grads(params, mb):
+        if cfg.normalize_advantage:
+            adv = mb[:, pallas_update._ADV]
+            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+            mb = mb.at[:, pallas_update._ADV].set(adv)
+        return smapped(params, mb)
+
+    return fused_grads
+
+
 def ppo_update(model: ActorCritic, tx: optax.GradientTransformation,
                params, opt_state, batch: RolloutBatch,
                advantages: jax.Array, returns: jax.Array, key: jax.Array,
-               cfg: PPOConfig):
+               cfg: PPOConfig, mesh=None):
     """n_epochs x n_minibatches of clipped-PPO Adam steps (SB3 PPO.train).
 
     The six minibatch fields are folded into one (N, D) matrix so each
@@ -316,11 +383,7 @@ def ppo_update(model: ActorCritic, tx: optax.GradientTransformation,
 
     grad_fn = jax.value_and_grad(ppo_loss, has_aux=True)
     if cfg.fused_update:
-        from acas2d_tpu.ops import pallas_update
-        assert pallas_update.supported(cfg.minibatch_size), (
-            f"fused_update needs minibatch_size % 128 == 0, "
-            f"got {cfg.minibatch_size}")
-        fused_interpret = jax.default_backend() != "tpu"
+        fused_grads = make_fused_grads_fn(cfg, mesh)
 
     def epoch_body(carry, k_epoch):
         params, opt_state = carry
@@ -332,11 +395,7 @@ def ppo_update(model: ActorCritic, tx: optax.GradientTransformation,
             params, opt_state = carry
             if cfg.fused_update:
                 # mb is already the kernel's packed (mb_size, 13) layout
-                grads, aux = pallas_update.ppo_minibatch_grads(
-                    params, mb, clip_range=cfg.clip_range,
-                    vf_coef=cfg.vf_coef, ent_coef=cfg.ent_coef,
-                    normalize_advantage=cfg.normalize_advantage,
-                    interpret=fused_interpret)
+                grads, aux = fused_grads(params, mb)
             else:
                 (loss, aux), grads = grad_fn(params, model, unpack(mb), cfg)
                 aux["loss"] = loss
@@ -360,9 +419,12 @@ def make_train_step(model: ActorCritic, cfg: PPOConfig,
     """Returns jit-able train_step(TrainState) -> (TrainState, metrics):
     one full PPO iteration (rollout + GAE + epochs of updates) on device.
 
-    `mesh` is only consulted by the fused Pallas rollout (which needs an
-    explicit shard_map); the XLA path shards transparently through jit."""
+    `mesh` is only consulted by the fused Pallas paths (rollout and update
+    kernels need an explicit shard_map); the XLA paths shard transparently
+    through jit."""
     tx = make_optimizer(cfg)
+    if cfg.fused_update:
+        make_fused_grads_fn(cfg, mesh)   # fail fast at build, not first call
     if cfg.fused_rollout:
         rollout_fn = functools.partial(collect_rollout_fused, mesh=mesh)
     else:
@@ -377,7 +439,7 @@ def make_train_step(model: ActorCritic, cfg: PPOConfig,
         key, k_update = jax.random.split(state.key)
         params, opt_state, opt_metrics = ppo_update(
             model, tx, state.params, state.opt_state, batch,
-            advantages, returns, k_update, cfg)
+            advantages, returns, k_update, cfg, mesh=mesh)
         explained_var = 1.0 - (jnp.var(returns - batch.values)
                                / (jnp.var(returns) + 1e-8))
         state = state.replace(params=params, opt_state=opt_state, key=key)

@@ -180,8 +180,19 @@ def measure_train_at(devices, n_envs: int, n_steps: int, iters: int = 2,
 
     P = DEFAULT_PARAMS
     batch = n_envs * n_steps
+    minibatch = max(64, batch // 8)
+    if fused_update and minibatch % 128:
+        # the fused kernel streams lane-aligned (13, 128k) chunks; round the
+        # bench minibatch up to the next 128-multiple that divides the batch
+        minibatch = 128
+        while minibatch < batch and batch % minibatch:
+            minibatch *= 2
+        if batch % minibatch:
+            raise ValueError(
+                f"no 128-aligned minibatch divides batch {batch}; pick "
+                f"--train-envs * --train-steps divisible by 128")
     cfg = PPOConfig(n_envs=n_envs, n_steps=n_steps,
-                    minibatch_size=max(64, batch // 8),
+                    minibatch_size=minibatch,
                     total_timesteps=batch, fused_rollout=fused,
                     fused_chunk=min(16, n_steps),
                     fused_update=fused_update)
@@ -190,8 +201,13 @@ def measure_train_at(devices, n_envs: int, n_steps: int, iters: int = 2,
     mesh = mesh_lib.make_mesh(devices)
     st = st.replace(env_state=mesh_lib.shard_env_pytree(st.env_state, mesh),
                     obs=mesh_lib.shard_env_pytree(st.obs, mesh))
+    # fused rollout only needs the mesh to split the kernel grid across
+    # devices; the fused update's guard fires whenever the *backend* is
+    # multi-device (a 1-device mesh is fine and satisfies it)
+    need_mesh = ((fused and len(devices) > 1)
+                 or (fused_update and jax.device_count() > 1))
     step = jax.jit(learner.make_train_step(
-        model, cfg, P, mesh=mesh if (fused and len(devices) > 1) else None),
+        model, cfg, P, mesh=mesh if need_mesh else None),
         donate_argnums=(0,))
     st, m = step(st)
     assert np.isfinite(np.asarray(m["loss"]))

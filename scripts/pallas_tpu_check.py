@@ -1,8 +1,8 @@
-"""On-chip validation of the fused Pallas rollout kernel vs the XLA engine.
+"""On-chip validation of the fused Pallas kernels vs the XLA engine.
 
-The interpret-mode tests (tests/test_pallas.py) validate kernel semantics on
-CPU; this script runs the SAME two comparisons on the real TPU (Mosaic
-lowering), where interpret mode proves nothing:
+The interpret-mode tests (tests/test_pallas.py, tests/test_pallas_update.py)
+validate kernel semantics on CPU; this script runs the SAME comparisons on
+the real TPU (Mosaic lowering), where interpret mode proves nothing:
 
   1. deterministic: forced-zero actions from identical initial states for
      64 steps (before any termination) — positions within f32-accumulation
@@ -10,7 +10,10 @@ lowering), where interpret mode proves nothing:
   2. statistical: long random-action autoreset rollouts (independent RNG
      streams, identical action distribution) — per-episode goal/collision/
      timeout rates and mean episode length within binomial noise of the XLA
-     engine.
+     engine;
+  3. fused PPO-update kernel (ops/pallas_update.py): hand-derived
+     forward+backward gradients vs jax.grad(learner.ppo_loss) on a
+     clip-band-straddling minibatch, compared leaf-by-leaf on the chip.
 
 Prints one JSON line; exit 0 = pass, 1 = fail, 0 with {"skipped": ...} when
 no TPU is attached.  Run directly or via
@@ -127,8 +130,68 @@ def main() -> int:
     if abs(ep_p - ep_x) > 0.02 * max(ep_p, ep_x):
         failures.append(f"episode counts differ >2%: {ep_p} vs {ep_x}")
 
+    # ---- 3. fused PPO-update gradients vs jax.grad, on chip
+    from acas2d_tpu.models.actor_critic import (ActorCritic,
+                                                gaussian_log_prob)
+    from acas2d_tpu.ops import pallas_update
+    from acas2d_tpu.ppo import learner
+    from acas2d_tpu.ppo.config import PPOConfig
+
+    model = ActorCritic()
+    n = 1024
+    cfg = PPOConfig(n_envs=8, n_steps=128, minibatch_size=n,
+                    total_timesteps=n)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 8), jnp.float32))
+    rng = np.random.default_rng(1)
+    obs = rng.normal(size=(n, 8)).astype(np.float32) * 0.3
+    mean, log_std, value = jax.jit(model.apply)(params, jnp.asarray(obs))
+    act = np.asarray(mean) + rng.normal(size=(n, 1)).astype(np.float32) * 0.7
+    old_logp = np.asarray(jax.jit(gaussian_log_prob)(
+        jnp.asarray(act), mean, log_std))
+    old_logp = old_logp + rng.normal(size=n).astype(np.float32) * 0.3
+    adv = rng.normal(size=n).astype(np.float32)
+    ret = rng.normal(size=n).astype(np.float32)
+    packed = jnp.asarray(np.concatenate(
+        [obs, act, old_logp[:, None], np.asarray(value)[:, None],
+         adv[:, None], ret[:, None]], axis=1))
+    fields = (jnp.asarray(obs), jnp.asarray(act), jnp.asarray(old_logp),
+              jnp.asarray(value), jnp.asarray(adv), jnp.asarray(ret))
+
+    (loss, aux), ref_g = jax.jit(
+        lambda p, f: jax.value_and_grad(learner.ppo_loss, has_aux=True)(
+            p, model, f, cfg))(params, fields)
+    grads, kaux = jax.jit(lambda p, d: pallas_update.ppo_minibatch_grads(
+        p, d, clip_range=cfg.clip_range, vf_coef=cfg.vf_coef,
+        ent_coef=cfg.ent_coef, interpret=False))(params, packed)
+
+    upd = {"clip_fraction": float(aux["clip_fraction"])}
+    if not 0.1 < upd["clip_fraction"] < 0.9:
+        failures.append("update fixture does not straddle the clip band")
+    worst = 0.0
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_g),
+            jax.tree_util.tree_leaves_with_path(grads)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = float(np.abs(a - b).max() / (np.abs(a).max() + 1e-12))
+        worst = max(worst, rel)
+        if rel > 2e-3:   # on-chip f32 matmul (MXU pass) rounding budget
+            failures.append(
+                f"update grad {jax.tree_util.keystr(pa)} rel err {rel:.2e}")
+    upd["worst_grad_rel_err"] = worst
+    upd["loss"] = [float(kaux["loss"]), float(loss)]
+    if abs(upd["loss"][0] - upd["loss"][1]) > 1e-4 * (1 + abs(upd["loss"][1])):
+        failures.append(f"update loss mismatch {upd['loss']}")
+    for key in ("policy_loss", "value_loss", "entropy", "approx_kl",
+                "clip_fraction"):
+        a, b = float(kaux[key]), float(aux[key])
+        upd[f"{key}"] = [a, b]
+        if abs(a - b) > 1e-3 * (1 + abs(b)):
+            failures.append(f"update aux {key}: kernel {a} vs xla {b}")
+
     print(json.dumps({"ok": not failures, "failures": failures,
-                      "deterministic": det, "statistical": stat}))
+                      "deterministic": det, "statistical": stat,
+                      "update_grads": upd}))
     return 1 if failures else 0
 
 

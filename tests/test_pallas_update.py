@@ -102,7 +102,12 @@ def test_supported_predicate():
 def test_fused_update_train_step_tracks_xla():
     """Full train_step with fused_update=True: identical rollout/shuffle
     RNG, gradients differ only by f32-vs-x64 rounding — params must track
-    the XLA train_step closely and metrics must agree."""
+    the XLA train_step closely and metrics must agree.  The test backend is
+    multi-device (conftest's virtual 8), so the fused path takes a 1-device
+    mesh (the multi-device guard requires one; the 8-device case is
+    tests/test_sharding.py::test_sharded_fused_update_train_step_matches_xla)."""
+    from acas2d_tpu.parallel import mesh as mesh_lib
+
     model = ActorCritic()
     n_envs, n_steps = 64, 32
     cfg_x = PPOConfig(n_envs=n_envs, n_steps=n_steps, minibatch_size=512,
@@ -111,9 +116,11 @@ def test_fused_update_train_step_tracks_xla():
                       total_timesteps=n_envs * n_steps, n_epochs=2,
                       fused_update=True)
     st = learner.init_train_state(jax.random.PRNGKey(5), model, cfg_x, P)
+    mesh1 = mesh_lib.make_mesh(jax.devices()[:1])
 
     st_x, m_x = jax.jit(learner.make_train_step(model, cfg_x, P))(st)
-    st_f, m_f = jax.jit(learner.make_train_step(model, cfg_f, P))(st)
+    st_f, m_f = jax.jit(learner.make_train_step(model, cfg_f, P,
+                                                mesh=mesh1))(st)
 
     assert set(m_x) == set(m_f)
     np.testing.assert_allclose(float(m_f["loss"]), float(m_x["loss"]),

@@ -86,6 +86,55 @@ def test_sharded_train_step_matches_replicated():
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_sharded_fused_update_train_step_matches_xla():
+    """Fused-update kernel shard_mapped over the 8-device env mesh
+    (learner.make_fused_grads_fn): a full train_step must track the
+    XLA-update train_step to f32 rounding — same rollout/shuffle RNG, only
+    the minibatch-gradient path differs (kernel + pmean vs jax.grad with
+    XLA's all-reduce).  Interpret mode on CPU; per-device minibatch shard
+    1024/8 = 128 rows."""
+    import dataclasses
+
+    from acas2d_tpu.models.actor_critic import ActorCritic
+    from acas2d_tpu.ppo import learner
+    from acas2d_tpu.ppo.config import PPOConfig
+
+    cfg_x = PPOConfig(n_envs=64, n_steps=32, minibatch_size=1024,
+                      total_timesteps=64 * 32, n_epochs=2)
+    cfg_f = dataclasses.replace(cfg_x, fused_update=True)
+    model = ActorCritic()
+    st = learner.init_train_state(jax.random.PRNGKey(7), model, cfg_x, P)
+    mesh = mesh_lib.make_mesh()
+    st = st.replace(env_state=mesh_lib.shard_env_pytree(st.env_state, mesh),
+                    obs=mesh_lib.shard_env_pytree(st.obs, mesh))
+
+    st_x, m_x = jax.jit(learner.make_train_step(model, cfg_x, P))(st)
+    st_f, m_f = jax.jit(learner.make_train_step(model, cfg_f, P,
+                                                mesh=mesh))(st)
+
+    assert set(m_x) == set(m_f)
+    np.testing.assert_allclose(float(m_f["loss"]), float(m_x["loss"]),
+                               rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(st_x.params),
+                    jax.tree.leaves(st_f.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_fused_update_multidevice_requires_mesh():
+    """fused_update with a multi-device backend and no mesh must fail
+    loudly at build time, not silently gather the minibatch onto one
+    device (an un-shard_mapped pallas_call does not partition)."""
+    from acas2d_tpu.models.actor_critic import ActorCritic
+    from acas2d_tpu.ppo import learner
+    from acas2d_tpu.ppo.config import PPOConfig
+
+    cfg = PPOConfig(n_envs=16, n_steps=32, minibatch_size=128,
+                    total_timesteps=16 * 32, fused_update=True)
+    with pytest.raises(ValueError, match="mesh"):
+        learner.make_train_step(ActorCritic(), cfg, P)
+
+
 def test_scaling_bench_harness():
     """bench.py --scaling harness: both measurement paths run sharded over
     1 and 8 devices and report finite positive throughput (the efficiency

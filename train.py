@@ -59,8 +59,9 @@ def parse_args(argv=None):
     p.add_argument("--fused-update", action="store_true",
                    help="compute each PPO minibatch gradient with the fused "
                         "Pallas forward+backward kernel "
-                        "(ops/pallas_update.py; TPU only, single device, "
-                        "minibatch %% 128 == 0)")
+                        "(ops/pallas_update.py; TPU only; multi-device runs "
+                        "shard_map it over the env mesh; per-device "
+                        "minibatch shard %% 128 == 0)")
     p.add_argument("--seed", type=int, default=13)
     p.add_argument("--out-dir", default="runs/ppo")
     p.add_argument("--run-name", default=None)
@@ -159,9 +160,10 @@ def main(argv=None):
         state = state.replace(
             env_state=mesh_lib.shard_env_pytree(state.env_state, mesh),
             obs=mesh_lib.shard_env_pytree(state.obs, mesh))
-    # The fused Pallas rollout needs an explicit shard_map mesh; the XLA
-    # path shards transparently through jit.
-    train_mesh = mesh if (cfg.fused_rollout and sharded) else None
+    # The fused Pallas paths (rollout and update kernels) need an explicit
+    # shard_map mesh; the XLA paths shard transparently through jit.
+    train_mesh = mesh if ((cfg.fused_rollout or cfg.fused_update)
+                          and sharded) else None
 
     # Global step is derived host-side (iteration * batch) as a Python int:
     # an on-device int32 step counter overflows past 2^31 env-steps.
