@@ -79,7 +79,7 @@ def fused_policy_rollout_kernel(
         # -- outputs --
         pxo, pyo, psio, txo, tyo, tvo, tpsio, stepso, toto, obso,
         obs_buf, act_buf, logp_buf, val_buf, rew_buf, done_buf,
-        ep_ret_buf, ep_len_buf, outcome_buf,
+        ep_ret_buf, ep_len_buf, outcome_buf, alato,
         *, K: int, p: EnvParams):
     lane = (jax.lax.broadcasted_iota(jnp.uint32, (8, 128), 0) * 128
             + jax.lax.broadcasted_iota(jnp.uint32, (8, 128), 1))
@@ -140,7 +140,8 @@ def fused_policy_rollout_kernel(
         return jnp.concatenate([_flatten_tile(r) for r in rows], axis=0)
 
     def body(i, carry):
-        (px, py, psi, tx, ty, tv, tpsi, tcos, tsin, steps, tot, M) = carry
+        (px, py, psi, tx, ty, tv, tpsi, tcos, tsin, steps, tot, M,
+         _alat_prev) = carry
         step_id = step_off + i
 
         # ---- policy forward + gaussian sample (SB3 collect_rollouts)
@@ -225,23 +226,28 @@ def fused_policy_rollout_kernel(
         # ---- next observation from the (possibly respawned) state.
         # observe()'s closing-speed lookahead uses state.pa_lat — the
         # lateral acceleration just applied this step (envs/core.py), which
-        # is 0 only for freshly respawned envs.
+        # is 0 only for freshly respawned envs.  `a_live` is also carried
+        # out of the kernel so the reconstructed env_state's pa_lat lets
+        # host-side consumers (core.observe, telemetry) recompute this same
+        # observation from the state.
+        a_live = jnp.where(done, jnp.float32(0.0), a_lat)
         pr = psi * DEG2RAD
         cp = jnp.cos(pr)
         sp = jnp.sin(pr)
         d_goal, h_goal_rad, d_dev, d_sep, d_cpa, v_closing = env_geometry(
-            px, py, cp, sp, psi, tx, ty, tv, tcos, tsin,
-            jnp.where(done, jnp.float32(0.0), a_lat),
+            px, py, cp, sp, psi, tx, ty, tv, tcos, tsin, a_live,
             v=v, dt=dt, gx=gx, gy=gy)
         M = build_obs(steps, psi, d_goal, h_goal_rad, d_dev, d_sep, d_cpa,
                       v_closing)
-        return (px, py, psi, tx, ty, tv, tpsi, tcos, tsin, steps, tot, M)
+        return (px, py, psi, tx, ty, tv, tpsi, tcos, tsin, steps, tot, M,
+                a_live)
 
     tr = tpsi0[0] * DEG2RAD
     init = (px0[0], py0[0], psi0[0], tx0[0], ty0[0], tv0[0], tpsi0[0],
-            jnp.cos(tr), jnp.sin(tr), steps0[0], tot0[0], obs0[0])
-    (px, py, psi, tx, ty, tv, tpsi, _, _, steps, tot, M) = jax.lax.fori_loop(
-        0, K, body, init)
+            jnp.cos(tr), jnp.sin(tr), steps0[0], tot0[0], obs0[0],
+            jnp.zeros_like(px0[0]))
+    (px, py, psi, tx, ty, tv, tpsi, _, _, steps, tot, M,
+     alat) = jax.lax.fori_loop(0, K, body, init)
     pxo[0] = px
     pyo[0] = py
     psio[0] = psi
@@ -252,6 +258,7 @@ def fused_policy_rollout_kernel(
     stepso[0] = steps
     toto[0] = tot
     obso[0] = M
+    alato[0] = alat
 
 
 def _pack_policy_params(params) -> Tuple[jax.Array, ...]:
@@ -283,9 +290,11 @@ def fused_policy_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
     """Run K fused policy+env autoreset steps.
 
     Inputs: flat (B,) f32 state arrays + obs (B, 8) + flax params.
-    Returns (final_state dict incl. 'obs' (B,8), buffers dict with leaves
-    (K, B) / obs (K, B, 8)).  `step_offset` advances the per-step RNG
-    counter across chunked launches.
+    Returns (final_state dict incl. 'obs' (B,8) and 'pa_lat' — the last
+    applied lateral acceleration, 0 for envs respawned on their final step,
+    so core.observe on the reconstructed state reproduces 'obs' —, buffers
+    dict with leaves (K, B) / obs (K, B, 8)).  `step_offset` advances the
+    per-step RNG counter across chunked launches.
     """
     assert params.max_traffic == 1 and params.min_traffic == 1, (
         "pallas path specializes min_traffic == max_traffic == 1")
@@ -326,7 +335,7 @@ def fused_policy_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
 
     out_specs = ([blk] * 9 + [obs_blk]
                  + [kobs] + [kbuf] * 5
-                 + [kbuf] * 3)
+                 + [kbuf] * 3 + [blk])
     out_shapes = (
         [jax.ShapeDtypeStruct((G, 8, 128), f32)] * 7
         + [jax.ShapeDtypeStruct((G, 8, 128), jnp.int32)]
@@ -335,9 +344,10 @@ def fused_policy_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
         + [jax.ShapeDtypeStruct((G, K, 8, E), f32)]     # obs buffer
         + [jax.ShapeDtypeStruct((G, K, 8, 128), f32)] * 5
         + [jax.ShapeDtypeStruct((G, K, 8, 128), f32)] * 2
-        + [jax.ShapeDtypeStruct((G, K, 8, 128), jnp.int32)])
-    # fix ep_len buffer dtype (int32) at index -2
-    out_shapes[-2] = jax.ShapeDtypeStruct((G, K, 8, 128), jnp.int32)
+        + [jax.ShapeDtypeStruct((G, K, 8, 128), jnp.int32)]
+        + [jax.ShapeDtypeStruct((G, 8, 128), f32)])     # final live a_lat
+    # fix ep_len buffer dtype (int32) at index -3
+    out_shapes[-3] = jax.ShapeDtypeStruct((G, K, 8, 128), jnp.int32)
 
     weights = _pack_policy_params(policy_params)
     log_std = policy_params["params"]["log_std"].astype(f32).reshape(1, 1)
@@ -365,7 +375,8 @@ def fused_policy_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
                  tx=flat(outs[3]), ty=flat(outs[4]), tv=flat(outs[5]),
                  tpsi=flat(outs[6]), steps=flat(outs[7]),
                  total_reward=flat(outs[8]),
-                 obs=outs[9].swapaxes(1, 2).reshape(B, 8))
+                 obs=outs[9].swapaxes(1, 2).reshape(B, 8),
+                 pa_lat=flat(outs[19]))
     buffers = dict(
         obs=outs[10].transpose(1, 0, 3, 2).reshape(K, B, 8),
         actions=flat_k(outs[11]),

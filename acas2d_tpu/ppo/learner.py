@@ -161,10 +161,14 @@ def collect_rollout_fused(model: ActorCritic, state: TrainState,
     interpret = jax.default_backend() != "tpu"   # CPU: pallas interpreter
 
     def launch(flat, obs, params, seed, offset):
-        return pallas_policy.fused_policy_rollout(
+        # flat["pa_lat"] is carried for scan-structure symmetry only: the
+        # kernel never reads the incoming value (step() overwrites a_lat
+        # before any use) and returns the last applied one
+        st, buf = pallas_policy.fused_policy_rollout(
             flat["px"], flat["py"], flat["psi"], flat["tx"], flat["ty"],
             flat["tv"], flat["tpsi"], flat["steps"], flat["total_reward"],
             obs, params, seed, offset, K, env_params, interpret=interpret)
+        return st, buf
 
     if mesh is not None:
         try:
@@ -184,7 +188,7 @@ def collect_rollout_fused(model: ActorCritic, state: TrainState,
 
         flat_spec = {k: PS(axis) for k in
                      ("px", "py", "psi", "tx", "ty", "tv", "tpsi",
-                      "steps", "total_reward")}
+                      "steps", "total_reward", "pa_lat")}
         state_out_spec = dict(flat_spec, obs=PS(axis, None))
         buf_spec = {k: PS(None, axis) for k in
                     ("actions", "log_probs", "values", "rewards", "dones",
@@ -211,7 +215,7 @@ def collect_rollout_fused(model: ActorCritic, state: TrainState,
     flat0 = dict(px=es.px, py=es.py, psi=es.ppsi,
                  tx=es.tx[:, 0], ty=es.ty[:, 0], tv=es.tv[:, 0],
                  tpsi=es.tpsi[:, 0], steps=es.steps,
-                 total_reward=es.total_reward)
+                 total_reward=es.total_reward, pa_lat=es.pa_lat)
     (flatF, obsF), bufs = jax.lax.scan(
         chunk, (flat0, state.obs.astype(jnp.float32)),
         jnp.arange(cfg.n_steps // K))
@@ -227,7 +231,7 @@ def collect_rollout_fused(model: ActorCritic, state: TrainState,
 
     env_state = es.replace(
         px=flatF["px"], py=flatF["py"], ppsi=flatF["psi"],
-        pa_lat=jnp.zeros_like(flatF["px"]),
+        pa_lat=flatF["pa_lat"],
         tx=flatF["tx"][:, None], ty=flatF["ty"][:, None],
         tv=flatF["tv"][:, None], tpsi=flatF["tpsi"][:, None],
         steps=flatF["steps"], total_reward=flatF["total_reward"],

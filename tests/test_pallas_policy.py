@@ -146,6 +146,35 @@ def test_collect_rollout_fused_contract(setup):
     assert int(st2.iteration) == 1
 
 
+def test_fused_state_obs_recompute_consistency():
+    """The reconstructed env_state after a fused rollout carries the last
+    applied a_lat, so a consumer that RECOMPUTES the observation from that
+    state (core.observe — switching fused->XLA rollout mid-run, telemetry,
+    make_eval_fn-style stepping) reproduces the obs the kernel carried.
+    Before the pa_lat carry, the recomputed closing-speed lookahead
+    (game.py:254-255 via kinematics.py:57) silently assumed a_lat=0 for
+    every mid-episode env."""
+    from acas2d_tpu.envs import core
+    from acas2d_tpu.ppo import learner
+    from acas2d_tpu.ppo.config import PPOConfig
+
+    model = ActorCritic()
+    cfg = PPOConfig(n_envs=B, n_steps=16, minibatch_size=B * 4,
+                    total_timesteps=B * 16, fused_rollout=True,
+                    fused_chunk=8)
+    st = learner.init_train_state(jax.random.PRNGKey(9), model, cfg, P)
+    st_f, _, _, _ = learner.collect_rollout_fused(model, st, cfg, P)
+    es = st_f.env_state
+    # mid-episode envs must carry a live (nonzero) lateral acceleration
+    assert float(np.abs(np.asarray(es.pa_lat)).max()) > 0.0
+    # observe() increments the step counter; rewind by one so it recomputes
+    # the same post-step observation the kernel carried
+    es_re = es.replace(steps=es.steps - 1)
+    _, obs_re = jax.vmap(lambda s: core.observe(s, P))(es_re)
+    np.testing.assert_allclose(np.asarray(obs_re, np.float32),
+                               np.asarray(st_f.obs), atol=2e-5)
+
+
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_fused_rollout_sharded_over_mesh():
     """collect_rollout_fused under shard_map on the ('env',) mesh: runs,
