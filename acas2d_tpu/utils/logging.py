@@ -61,11 +61,15 @@ class MetricsLogger:
                             if any(k not in existing for k in fields) else None)
             if old_rows is not None:
                 merged = existing + [k for k in fields if k not in existing]
-                with open(self.csv_path, "w", newline="") as f:
+                # write-then-rename: a crash mid-rewrite must not lose the
+                # already-logged rows of a resumed run
+                tmp_path = self.csv_path + ".tmp"
+                with open(tmp_path, "w", newline="") as f:
                     w = csv.DictWriter(f, fieldnames=merged,
                                        extrasaction="ignore")
                     w.writeheader()
                     w.writerows(old_rows)
+                os.replace(tmp_path, self.csv_path)
                 existing = merged
         self._fields = existing or fields
         self._csv_file = open(self.csv_path, "a", newline="")

@@ -65,8 +65,15 @@ print(f"proc {jax.process_index()} ok loss={loss:.6f}", flush=True)
 @pytest.mark.skipif(os.environ.get("ACAS2D_SKIP_MULTIPROC") == "1",
                     reason="multi-process test disabled")
 def test_two_process_distributed_train_step(tmp_path):
+    # ephemeral coordinator port: two concurrent test runs on one box must
+    # not collide (bind port 0, read back the kernel's pick, release it —
+    # a tiny race window, but no fixed-port clashes)
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     env = dict(os.environ)
-    env["COORD"] = "localhost:12633"
+    env["COORD"] = f"localhost:{port}"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env.pop("JAX_PLATFORMS", None)
 
