@@ -193,8 +193,45 @@ class LegacyACAS2DEnv:
             self.outcome = outcome
         return obs, reward, done, {}
 
+    def seed(self, seed: int):
+        """Old-gym seeding surface; the reference seeds the global
+        `random` module once per process instead (training_main.py:14)."""
+        self._backend.seed(seed)
+        return [seed]
+
     def render(self, mode="human"):
         pass
 
     def close(self):
+        pass
+
+
+# Best-effort legacy-gym registration (the reference registers 'ACAS2D-v0'
+# under old `gym`, gym_ACAS2D/__init__.py:3-6).  Old gym is not a
+# dependency of this package; when a user's environment has it installed,
+# `gym.make("ACAS2D-v0")` resolves to the 4-tuple legacy env below.
+try:                                                     # pragma: no cover
+    import gym as _legacy_gym
+    _HAS_LEGACY_GYM = True
+except ImportError:
+    _legacy_gym = None
+    _HAS_LEGACY_GYM = False
+
+if _HAS_LEGACY_GYM:                                      # pragma: no cover
+
+    class LegacyGymACAS2DEnv(LegacyACAS2DEnv, _legacy_gym.Env):
+        """LegacyACAS2DEnv as a registered old-gym Env.  reset() tolerates
+        the seed/options kwargs newer gym releases (>=0.26) pass through."""
+        metadata = {"render.modes": []}
+
+        def reset(self, seed=None, options=None, **kwargs):
+            if seed is not None:
+                self.seed(seed)
+            return super().reset()
+
+    try:
+        _legacy_gym.register(
+            id="ACAS2D-v0",
+            entry_point="acas2d_tpu.envs.gym_compat:LegacyGymACAS2DEnv")
+    except Exception:                                    # already registered
         pass

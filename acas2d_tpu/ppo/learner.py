@@ -478,41 +478,97 @@ def make_train_loop(model: ActorCritic, cfg: PPOConfig,
 
 # -------------------------------------------------------------- evaluation
 
+def _greedy_eval_metrics(model: ActorCritic, params, env_state, obs,
+                         n_ep: int, env_params: EnvParams, dtype):
+    """Shared eval body: step n_ep envs greedily (deterministic mean) for
+    max_steps, aggregate the FIRST completed episode per env."""
+
+    def body(carry, _):
+        env_state, obs, ret, length, outcome, done_seen = carry
+        mean, _, _ = model.apply(params, obs)
+        a = jnp.clip(mean[..., 0], -1.0, 1.0)
+        env_state, out = vector.step_batch(env_state, a, env_params)
+        active = ~done_seen
+        ret = ret + jnp.where(active, out.reward, 0.0)
+        length = length + jnp.where(active, 1, 0)
+        outcome = jnp.where(active & out.done, out.outcome, outcome)
+        done_seen = done_seen | out.done
+        return (env_state, out.obs, ret, length, outcome, done_seen), None
+
+    init = (env_state, obs,
+            jnp.zeros(n_ep, dtype), jnp.zeros(n_ep, jnp.int32),
+            jnp.zeros(n_ep, jnp.int32), jnp.zeros(n_ep, bool))
+    (f_state, _, ret, length, outcome, done_seen), _ = jax.lax.scan(
+        body, init, None, length=env_params.max_steps)
+    return {
+        "eval_return_mean": ret.mean(),
+        "eval_return_std": ret.std(),
+        "eval_length_mean": length.astype(jnp.float32).mean(),
+        "eval_goal_rate": (outcome == 1).mean(dtype=jnp.float32),
+        "eval_collision_rate": (outcome == 2).mean(dtype=jnp.float32),
+        "eval_done_all": done_seen.all(),
+    }
+
+
 def make_eval_fn(model: ActorCritic, cfg: PPOConfig, env_params: EnvParams,
                  dtype=jnp.float32) -> Callable:
     """Greedy (deterministic-mean) evaluation: EvalCallback equivalent
     (training_main.py:31-35).  Runs cfg.eval_episodes envs for max_steps;
-    returns mean/std of the FIRST completed episode per env."""
+    returns mean/std of the FIRST completed episode per env.  Episodes
+    spawn from fresh in-graph threefry keys — statistically equivalent to
+    the reference protocol; `make_exact_eval_fn` is the stream-identical
+    variant."""
 
     n_ep = cfg.eval_episodes
 
     def eval_fn(params, key):
         env_state, obs = vector.reset_batch(key, n_ep, env_params, dtype)
+        return _greedy_eval_metrics(model, params, env_state, obs, n_ep,
+                                    env_params, dtype)
 
-        def body(carry, _):
-            env_state, obs, ret, length, outcome, done_seen = carry
-            mean, _, _ = model.apply(params, obs)
-            a = jnp.clip(mean[..., 0], -1.0, 1.0)
-            env_state, out = vector.step_batch(env_state, a, env_params)
-            active = ~done_seen
-            ret = ret + jnp.where(active, out.reward, 0.0)
-            length = length + jnp.where(active, 1, 0)
-            outcome = jnp.where(active & out.done, out.outcome, outcome)
-            done_seen = done_seen | out.done
-            return (env_state, out.obs, ret, length, outcome, done_seen), None
+    return eval_fn
 
-        init = (env_state, obs,
-                jnp.zeros(n_ep, dtype), jnp.zeros(n_ep, jnp.int32),
-                jnp.zeros(n_ep, jnp.int32), jnp.zeros(n_ep, bool))
-        (f_state, _, ret, length, outcome, done_seen), _ = jax.lax.scan(
-            body, init, None, length=env_params.max_steps)
-        return {
-            "eval_return_mean": ret.mean(),
-            "eval_return_std": ret.std(),
-            "eval_length_mean": length.astype(jnp.float32).mean(),
-            "eval_goal_rate": (outcome == 1).mean(dtype=jnp.float32),
-            "eval_collision_rate": (outcome == 2).mean(dtype=jnp.float32),
-            "eval_done_all": done_seen.all(),
-        }
+
+def make_exact_eval_fn(model: ActorCritic, cfg: PPOConfig,
+                       env_params: EnvParams, dtype=jnp.float32) -> Callable:
+    """Greedy evaluation whose episodes spawn from a CONTINUING host
+    Mersenne stream (oracle.MersenneSpawner + core.reset_from): the
+    reference EvalCallback's episode protocol — n_eval_episodes sequential
+    episodes per eval, drawn from one process-lifetime stream
+    (training_main.py:28-35) — so the logged eval curve is
+    protocol-identical to the reference's evaluations.npz (same spawn draw
+    order; the reference's stream is additionally perturbed by its
+    single training env sharing the global `random` module, which has no
+    counterpart here).
+
+    The returned callable is stateful host-side — the stream advances on
+    every call — and accepts/ignores a `key` argument for interface parity
+    with make_eval_fn.  The episodes run batched on device; only the ~10
+    spawns per eval are host-side."""
+    from acas2d_tpu.oracle import MersenneSpawner
+
+    n_ep = cfg.eval_episodes
+    spawner = MersenneSpawner(env_params, seed=cfg.seed)
+
+    @jax.jit
+    def run(params, psi, tx, ty, tv, tpsi, nt):
+        env_state, obs = jax.vmap(
+            lambda *a: core.reset_from(*a, env_params, dtype))(
+            psi, tx, ty, tv, tpsi, nt)
+        return _greedy_eval_metrics(model, params, env_state, obs, n_ep,
+                                    env_params, dtype)
+
+    def eval_fn(params, key=None):
+        del key                          # Mersenne stream, not threefry
+        import numpy as np
+        inits = spawner.spawn_batch(n_ep)
+        return run(
+            params,
+            jnp.asarray(np.array([i.player_psi for i in inits]), dtype),
+            jnp.asarray(np.stack([i.traffic_x for i in inits]), dtype),
+            jnp.asarray(np.stack([i.traffic_y for i in inits]), dtype),
+            jnp.asarray(np.stack([i.traffic_v for i in inits]), dtype),
+            jnp.asarray(np.stack([i.traffic_psi for i in inits]), dtype),
+            jnp.asarray(np.array([i.num_traffic for i in inits]), jnp.int32))
 
     return eval_fn

@@ -115,6 +115,30 @@ def test_eval_fn_completes_episodes():
     assert 1 <= float(ev["eval_length_mean"]) <= P.max_steps + 1
 
 
+def test_exact_eval_fn_mersenne_protocol():
+    """make_exact_eval_fn (training_main.py:28-35 protocol): same metric
+    keys as make_eval_fn; episodes draw from ONE continuing Mersenne
+    stream — a second call advances it, a fresh fn with the same seed
+    reproduces the first call bit-exactly."""
+    cfg = PPOConfig(n_envs=4, n_steps=8, minibatch_size=32,
+                    total_timesteps=64, eval_episodes=6)
+    model = ActorCritic()
+    st = learner.init_train_state(jax.random.PRNGKey(0), model, cfg, P)
+
+    f1 = learner.make_exact_eval_fn(model, cfg, P)
+    m1 = jax.device_get(f1(st.params))
+    ref = jax.device_get(jax.jit(learner.make_eval_fn(model, cfg, P))(
+        st.params, jax.random.PRNGKey(5)))
+    assert set(m1) == set(ref)
+    assert bool(m1["eval_done_all"])
+
+    m2 = jax.device_get(f1(st.params))           # stream advanced
+    m1b = jax.device_get(
+        learner.make_exact_eval_fn(model, cfg, P)(st.params))
+    assert float(m1b["eval_return_mean"]) == float(m1["eval_return_mean"])
+    assert float(m2["eval_return_mean"]) != float(m1["eval_return_mean"])
+
+
 def test_sharded_train_step_on_8_device_mesh():
     """BASELINE.json configs 4-5 in miniature: env batch sharded over an
     8-device mesh, replicated params, full PPO step compiles and runs."""

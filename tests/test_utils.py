@@ -113,3 +113,19 @@ def test_legacy_env_spaces_without_gymnasium(monkeypatch):
     assert env.observation_space.contains(obs)
     assert env.action_space.contains(np.array([0.5]))
     assert not env.action_space.contains(np.array([1.5]))
+
+
+def test_legacy_gym_registration():
+    """When the old `gym` package is importable, importing gym_compat
+    registers the reference's exact surface (gym_ACAS2D/__init__.py:3-6):
+    gym.make("ACAS2D-v0") -> 4-tuple env.  Skipped when gym is absent
+    (it is not a dependency; docs/MIGRATION.md §7 documents both paths)."""
+    gym = pytest.importorskip("gym")
+    import acas2d_tpu.envs.gym_compat  # noqa: F401  (registration side effect)
+
+    env = gym.make("ACAS2D-v0")
+    obs = env.reset()
+    out = env.step([0.0])
+    assert len(out) == 4
+    obs2, reward, done, info = out
+    assert np.asarray(obs).shape[-1] == 8 and info == {}

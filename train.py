@@ -68,6 +68,12 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-every", type=int, default=32768,
                    help="global steps between checkpoints (reference: 32768)")
     p.add_argument("--eval-every", type=int, default=None)
+    p.add_argument("--exact-eval", action="store_true",
+                   help="evaluate via the reference's Mersenne-stream "
+                        "protocol (host spawns + reset_from from ONE "
+                        "continuing stream, like eval.py --exact) instead "
+                        "of fresh threefry spawns: the eval curve becomes "
+                        "protocol-identical to evaluations.npz")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--init-params-npz", default=None,
                    help="warm-start the policy from a flat-npz params "
@@ -194,7 +200,12 @@ def main(argv=None):
         train_fn = jax.jit(learner.make_train_step(model, cfg, env_params,
                                                    mesh=train_mesh),
                            donate_argnums=(0,))
-    eval_fn = jax.jit(learner.make_eval_fn(model, cfg, env_params, dtype))
+    if args.exact_eval:
+        # stateful host-side (the Mersenne stream advances per call); jits
+        # its own device program internally
+        eval_fn = learner.make_exact_eval_fn(model, cfg, env_params, dtype)
+    else:
+        eval_fn = jax.jit(learner.make_eval_fn(model, cfg, env_params, dtype))
 
     timers = profiling.PhaseTimers()
     # Start cadence counters at the (possibly restored) global step so a
