@@ -18,9 +18,10 @@ training keeps the XLA path.  Specializations vs the general engine:
     aircraft.py:20-22), so its direction cosines are episode constants
     cached in registers instead of recomputed per step;
   * float32; angle conversion constant-folds (psi * pi/180);
-  * the fresh-spawn observation is not materialized (the stepping workload
-    does not consume observations — same dead-code shape XLA sees in the
-    bench's scan).
+  * by default observations are not materialized (the pure-stepping
+    workload does not consume them — same dead-code shape XLA sees in the
+    bench's scan); `with_obs=True` builds and checksums the full 8-feature
+    observation every step for the obs-inclusive headline.
 Environment *semantics* (geometry, rewards, termination order, bug_compat
 quirks kinematics.py:47,57,67,74) are identical; tests compare against the
 jnp engine under forced-zero actions and long-horizon outcome statistics.
@@ -204,9 +205,16 @@ def shaped_step_reward(psi, h_goal_deg, d_goal, d_dev, d_cpa, v_closing,
 def fused_rollout_kernel(seed_ref,                       # SMEM (1,1) int32
                          px0, py0, psi0, tx0, ty0, tv0, tpsi0, steps0, tot0,
                          pxo, pyo, psio, txo, tyo, tvo, tpsio, stepso, toto,
-                         rsum, ep_count, goal_count, coll_count,
-                         *, T: int, p: EnvParams, zero_actions: bool):
-    """One grid program: full T-step autoreset rollout for LANES envs."""
+                         rsum, ep_count, goal_count, coll_count, osum,
+                         *, T: int, p: EnvParams, zero_actions: bool,
+                         with_obs: bool):
+    """One grid program: full T-step autoreset rollout for LANES envs.
+
+    `with_obs`: build the full 8-feature observation of the post-step
+    (post-respawn) state each step — exactly what a training consumer
+    receives (envs/core.py:observe) — and fold it into a carried checksum
+    so the work cannot be dead-code-eliminated.  The default skips it (the
+    pure-stepping workload consumes no observations)."""
     lane = (jax.lax.broadcasted_iota(jnp.uint32, (8, 128), 0) * 128
             + jax.lax.broadcasted_iota(jnp.uint32, (8, 128), 1))
     rng_base = (seed_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
@@ -224,7 +232,7 @@ def fused_rollout_kernel(seed_ref,                       # SMEM (1,1) int32
 
     def body(i, carry):
         (px, py, psi, tx, ty, tv, tpsi, tcos, tsin,
-         steps, tot, rs, ec, gc, cc) = carry
+         steps, tot, rs, ec, gc, cc, os_) = carry
 
         # ---- random action in [-1, 1] (or forced zero for parity tests)
         if zero_actions:
@@ -287,8 +295,31 @@ def fused_rollout_kernel(seed_ref,                       # SMEM (1,1) int32
         # reset: observe() leaves steps == 1 (game.py:197)
         steps = jnp.where(done, 1, steps)
         tot = jnp.where(done, 0.0, tot)
+
+        if with_obs:
+            # observation of the post-step (post-respawn) state — the obs a
+            # training consumer receives (envs/core.py:observe; the
+            # closing-speed lookahead holds the live a_lat, 0 after respawn)
+            a_live = jnp.where(done, jnp.float32(0.0), a_lat)
+            pr2 = psi * DEG2RAD
+            cp2 = jnp.cos(pr2)
+            sp2 = jnp.sin(pr2)
+            (d_goal2, h_goal_rad2, d_dev2, d_sep2, d_cpa2,
+             v_closing2) = env_geometry(
+                px, py, cp2, sp2, psi, tx, ty, tv, tcos, tsin, a_live,
+                v=v, dt=dt, gx=gx, gy=gy)
+            os_ = (os_
+                   + steps.astype(jnp.float32) * inv_max_steps
+                   + psi * jnp.float32(1.0 / 360.0)
+                   + d_dev2 * jnp.float32(1.0 / p.d_dev_max)
+                   + d_goal2 * jnp.float32(1.0 / p.d_goal_max)
+                   + (h_goal_rad2 * jnp.float32(1.0 / DEG2RAD))
+                   * jnp.float32(1.0 / 360.0)
+                   + d_sep2 * jnp.float32(1.0 / p.d_separation_max)
+                   + d_cpa2 * jnp.float32(1.0 / p.d_cpa_max)
+                   + v_closing2 * jnp.float32(1.0 / p.v_closing_max))
         return (px, py, psi, tx, ty, tv, tpsi, tcos, tsin,
-                steps, tot, rs, ec, gc, cc)
+                steps, tot, rs, ec, gc, cc, os_)
 
     tr = tpsi0[0] * DEG2RAD
     init = (px0[0], py0[0], psi0[0], tx0[0], ty0[0], tv0[0], tpsi0[0],
@@ -296,9 +327,10 @@ def fused_rollout_kernel(seed_ref,                       # SMEM (1,1) int32
             jnp.zeros((8, 128), jnp.float32),
             jnp.zeros((8, 128), jnp.int32),
             jnp.zeros((8, 128), jnp.int32),
-            jnp.zeros((8, 128), jnp.int32))
-    (px, py, psi, tx, ty, tv, tpsi, _, _, steps, tot, rs, ec, gc, cc) = (
-        jax.lax.fori_loop(0, T, body, init))
+            jnp.zeros((8, 128), jnp.int32),
+            jnp.zeros((8, 128), jnp.float32))
+    (px, py, psi, tx, ty, tv, tpsi, _, _, steps, tot, rs, ec, gc, cc,
+     os_) = jax.lax.fori_loop(0, T, body, init)
     pxo[0] = px
     pyo[0] = py
     psio[0] = psi
@@ -312,18 +344,23 @@ def fused_rollout_kernel(seed_ref,                       # SMEM (1,1) int32
     ep_count[0] = ec
     goal_count[0] = gc
     coll_count[0] = cc
+    osum[0] = os_
 
 
 def fused_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
                   seed: int, T: int,
                   params: EnvParams = DEFAULT_PARAMS,
                   interpret: bool = False,
-                  zero_actions: bool = False):
+                  zero_actions: bool = False,
+                  with_obs: bool = False):
     """Run T autoreset steps with in-kernel random actions.
 
     Inputs are flat (B,) f32 state arrays (traffic arrays squeezed:
     max_traffic == 1) and int32 steps.  Returns the final state plus per-env
-    (reward_sum, episodes_ended, goals, collisions).
+    (reward_sum, episodes_ended, goals, collisions, obs_sum).  `with_obs`
+    additionally materializes the full post-step observation every step and
+    checksums it into obs_sum (zeros otherwise) — the obs-inclusive
+    workload a training consumer sees (envs/core.py:observe).
     """
     # The in-kernel respawn (spawn() above) specializes the reference's only
     # exercised configuration: exactly one traffic aircraft at constant
@@ -358,15 +395,16 @@ def fused_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
     out_shapes = ([jax.ShapeDtypeStruct((G, 8, 128), f32)] * 7
                   + [jax.ShapeDtypeStruct((G, 8, 128), jnp.int32)]
                   + [jax.ShapeDtypeStruct((G, 8, 128), f32)] * 2
-                  + [jax.ShapeDtypeStruct((G, 8, 128), jnp.int32)] * 3)
+                  + [jax.ShapeDtypeStruct((G, 8, 128), jnp.int32)] * 3
+                  + [jax.ShapeDtypeStruct((G, 8, 128), f32)])
 
     kernel = functools.partial(fused_rollout_kernel, T=T, p=params,
-                               zero_actions=zero_actions)
+                               zero_actions=zero_actions, with_obs=with_obs)
     outs = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)] + [blk] * 9,
-        out_specs=[blk] * 13,
+        out_specs=[blk] * 14,
         out_shape=out_shapes,
         interpret=interpret,
     )(jnp.array([[seed]], jnp.int32), *ins)
@@ -375,5 +413,5 @@ def fused_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
     state = dict(px=flat[0], py=flat[1], psi=flat[2], tx=flat[3], ty=flat[4],
                  tv=flat[5], tpsi=flat[6], steps=flat[7], total_reward=flat[8])
     stats = dict(reward_sum=flat[9], episodes=flat[10], goals=flat[11],
-                 collisions=flat[12])
+                 collisions=flat[12], obs_sum=flat[13])
     return state, stats

@@ -133,3 +133,34 @@ def test_fused_rollout_on_tpu():
     if "skipped" in result:
         pytest.skip(result["skipped"])
     assert result["ok"], result["failures"]
+
+
+def test_fused_rollout_obs_checksum_matches_engine(initial_states):
+    """with_obs=True: the kernel's per-env obs checksum (sum of all 8
+    features over all steps) equals the XLA engine's summed observations
+    under forced-zero actions — pins that the obs-inclusive bench variant
+    really computes observe()'s features, not a cheaper proxy."""
+    s = initial_states
+
+    def run_jnp_obs(s):
+        def body(st, _):
+            st, out = vector.step_autoreset_batch(
+                st, jnp.zeros((B,), jnp.float32), P)
+            return st, out.obs.sum(-1)
+        return jax.lax.scan(body, s, None, length=T)
+
+    _, osums = jax.jit(run_jnp_obs)(s)
+    _, stats = pallas_step.fused_rollout(
+        s.px, s.py, s.ppsi, s.tx[:, 0], s.ty[:, 0], s.tv[:, 0],
+        s.tpsi[:, 0], s.steps, s.total_reward,
+        seed=7, T=T, params=P, interpret=True, zero_actions=True,
+        with_obs=True)
+    ref = np.asarray(osums.sum(0))
+    np.testing.assert_allclose(np.asarray(stats["obs_sum"]), ref,
+                               rtol=1e-5, atol=2e-4)
+    # and the default path really skips it
+    _, stats0 = pallas_step.fused_rollout(
+        s.px, s.py, s.ppsi, s.tx[:, 0], s.ty[:, 0], s.tv[:, 0],
+        s.tpsi[:, 0], s.steps, s.total_reward,
+        seed=7, T=T, params=P, interpret=True, zero_actions=True)
+    assert float(np.abs(np.asarray(stats0["obs_sum"])).max()) == 0.0
