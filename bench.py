@@ -69,8 +69,9 @@ def measure_pallas(B: int = 262144, T: int = 256, iters: int = 8,
 
 
 def measure(B: int = 262144, T: int = 256, iters: int = 8,
-            repeats: int = 3, with_obs: bool = False) -> list:
-    P = DEFAULT_PARAMS
+            repeats: int = 3, with_obs: bool = False,
+            params=None) -> list:
+    P = params if params is not None else DEFAULT_PARAMS
     key = jax.random.PRNGKey(0)
     # Everything jitted: on a tunneled TPU backend, eager op-by-op dispatch
     # pays a remote-compile round trip per primitive.
@@ -175,12 +176,15 @@ def measure_rollout_at(devices, n_envs: int, T: int, iters: int = 4,
 
 def measure_train_at(devices, n_envs: int, n_steps: int, iters: int = 2,
                      repeats: int = 2, fused: bool = False,
-                     fused_update: bool = False) -> float:
+                     fused_update: bool = False, loop_k: int = 1) -> float:
     """Full PPO train_step (rollout + GAE + 10 epochs of minibatch Adam)
     env-steps/s with env state sharded over `devices`; params replicated,
     gradients all-reduced by XLA (psum over the mesh).  `fused` collects
     the rollout with the policy-in-kernel Pallas path; `fused_update`
-    computes minibatch gradients with the fused fwd+bwd kernel."""
+    computes minibatch gradients with the fused fwd+bwd kernel; `loop_k`>1
+    fuses that many iterations into one device program
+    (learner.make_train_loop — train.py --iters-per-call), amortizing the
+    per-dispatch host round trip that dominates on a tunneled backend."""
     from acas2d_tpu.models.actor_critic import ActorCritic
     from acas2d_tpu.parallel import mesh as mesh_lib
     from acas2d_tpu.ppo import learner
@@ -214,11 +218,16 @@ def measure_train_at(devices, n_envs: int, n_steps: int, iters: int = 2,
     # multi-device (a 1-device mesh is fine and satisfies it)
     need_mesh = ((fused and len(devices) > 1)
                  or (fused_update and jax.device_count() > 1))
-    step = jax.jit(learner.make_train_step(
-        model, cfg, P, mesh=mesh if need_mesh else None),
-        donate_argnums=(0,))
+    use_mesh = mesh if need_mesh else None
+    if loop_k > 1:
+        step = jax.jit(learner.make_train_loop(model, cfg, P, loop_k,
+                                               mesh=use_mesh),
+                       donate_argnums=(0,))
+    else:
+        step = jax.jit(learner.make_train_step(model, cfg, P, mesh=use_mesh),
+                       donate_argnums=(0,))
     st, m = step(st)
-    assert np.isfinite(np.asarray(m["loss"]))
+    assert np.isfinite(np.asarray(m["loss"])).all()
     best = 0.0
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -226,7 +235,7 @@ def measure_train_at(devices, n_envs: int, n_steps: int, iters: int = 2,
             st, m = step(st)
         _sync(m["loss"])
         dt = (time.perf_counter() - t0) / iters
-        best = max(best, batch / dt)
+        best = max(best, batch * loop_k / dt)
     return best
 
 
@@ -285,21 +294,50 @@ def scaling_main(args) -> int:
     return 0
 
 
+def multi_traffic_main(args) -> int:
+    """bench.py --multi-traffic N: env-steps/s of the general XLA engine at
+    max_traffic == N (the reference's dead branch game.py:107-114, exercised
+    here for generality).  The pallas kernels specialize max_traffic == 1
+    and assert it away (ops/pallas_step.py), so this is the XLA path by
+    construction; the measured cost of N>1 motivates (or dismisses)
+    extending a kernel — see docs/PERFORMANCE.md 'Multi-traffic'."""
+    import dataclasses
+    n = args.multi_traffic
+    P = dataclasses.replace(DEFAULT_PARAMS, min_traffic=n, max_traffic=n)
+    rows = {}
+    for label, p in (("traffic1", DEFAULT_PARAMS), (f"traffic{n}", P)):
+        rates = measure(B=args.mt_envs, T=128, iters=4, repeats=2,
+                        with_obs=True, params=p)
+        rows[label] = round(max(rates), 1)
+    ratio = rows[f"traffic{n}"] / max(rows["traffic1"], 1e-9)
+    print(json.dumps({
+        "metric": f"env-steps/s, XLA engine, max_traffic {n} vs 1 "
+                  "(obs-inclusive)",
+        "value": rows[f"traffic{n}"],
+        "unit": "env-steps/s",
+        "vs_baseline": round(rows[f"traffic{n}"] / REFERENCE_STEPS_PER_S, 1),
+        "paths": rows,
+        "relative_cost": round(1.0 / max(ratio, 1e-9), 2),
+    }))
+    return 0
+
+
 def train_main(args) -> int:
     """bench.py --train: end-to-end PPO training env-steps/s (tpu-preset
     sizes: rollout + GAE + 10 update epochs per iteration), XLA rollout vs
     the fused policy-in-kernel Pallas rollout."""
     devs = jax.devices()
-    variants = [("xla", False, False)]
+    variants = [("xla", False, False, 1)]
     if args.fused != "off":
-        variants += [("fused_rollout", True, False),
-                     ("fused_rollout+update", True, True)]
+        variants += [("fused_rollout", True, False, 1),
+                     ("fused_rollout+update", True, True, 1),
+                     ("fused_rollout+update+loop8", True, True, 8)]
     rows = {}
-    for label, fr, fu in variants:
+    for label, fr, fu, lk in variants:
         try:
             rows[label] = round(measure_train_at(
                 devs, args.train_envs, args.train_steps,
-                fused=fr, fused_update=fu), 1)
+                fused=fr, fused_update=fu, loop_k=lk), 1)
         except Exception as e:          # pallas path absent on this backend
             rows[label] = f"unavailable ({type(e).__name__})"
     best = max((v for v in rows.values() if isinstance(v, float)),
@@ -324,6 +362,11 @@ def main():
                          "policy-in-kernel rollout) instead of the env "
                          "stepping headline")
     ap.add_argument("--train-envs", type=int, default=4096)
+    ap.add_argument("--multi-traffic", type=int, default=0, metavar="N",
+                    help="measure the general XLA engine at max_traffic=N "
+                         "vs 1 (obs-inclusive) instead of the headline")
+    ap.add_argument("--mt-envs", type=int, default=65536,
+                    help="--multi-traffic: env batch size")
     ap.add_argument("--fused", choices=["on", "off"], default="on",
                     help="--train: also measure the fused Pallas rollout")
     ap.add_argument("--mode", choices=["rollout", "train", "both"],
@@ -355,6 +398,8 @@ def main():
         return scaling_main(args)
     if args.train:
         return train_main(args)
+    if args.multi_traffic:
+        return multi_traffic_main(args)
     n_dev = jax.device_count()
     if cpu_fallback:
         rates = measure(B=16384, T=64, iters=4, repeats=2)

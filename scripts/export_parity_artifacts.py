@@ -91,9 +91,14 @@ def main(argv=None):
             "total_steps": int(c["timesteps"][-1]),
         }
     sout = os.path.join(REPO, "artifacts", "parity_sweep_summary.json")
-    with open(sout, "w") as f:
-        json.dump(summary, f, indent=1, sort_keys=True)
-    print(f"wrote {sout} ({len(summary)} runs)")
+    if summary:
+        with open(sout, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {sout} ({len(summary)} runs)")
+    else:
+        # e.g. a bad sweep_dir argument: never clobber the committed
+        # summary with an empty one
+        print(f"no runs under {sweep_dir}; {sout} left untouched")
 
     for name in exports:
         export_run(os.path.join(sweep_dir, name), f"ppo_{name}",

@@ -29,7 +29,14 @@ REF_BEST = 1226.55
 
 
 @pytest.mark.parametrize("name", ["ppo_ref_s12", "ppo_ref_s9",
-                                  "ppo_env8_s2", "ppo_env8_s8"])
+                                  "ppo_env8_s2", "ppo_env8_s8",
+                                  # reference-config run evaluated with
+                                  # train.py --exact-eval: episodes drawn
+                                  # from the CONTINUING Mersenne stream
+                                  # (training_main.py:28-35 protocol), so
+                                  # this curve is protocol-identical to
+                                  # evaluations.npz (final 1223.5)
+                                  "ppo_exact_eval_ref_s12"])
 def test_committed_curve_matches_reference_endpoint(name):
     d = np.load(os.path.join(ART, f"{name}_evaluations.npz"))
     steps, results = d["timesteps"], d["results"]
