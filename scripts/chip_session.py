@@ -1,0 +1,109 @@
+"""One consolidated on-chip measurement session.
+
+The tunneled TPU grant on this rig wedges intermittently (any device op
+hangs; bench.py:_accelerator_healthy documents it), so chip work is batched
+into ONE process that runs every on-chip validation/benchmark phase
+sequentially and flushes each phase's JSON to /tmp/chip_session/ as it
+completes — a mid-session wedge keeps everything already measured.
+
+Phases:
+  1. kernel validation (scripts/pallas_tpu_check.py main) -> check.json
+  2. end-to-end PPO training bench, all variants          -> train.json
+  3. env-stepping headline + obs-inclusive variant        -> headline.json
+  4. multi-traffic XLA engine cost                        -> multitraffic.json
+
+Run: timeout 1800 python scripts/chip_session.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = "/tmp/chip_session"
+
+
+def _write(name, payload):
+    os.makedirs(OUT, exist_ok=True)
+    with open(os.path.join(OUT, name), "w") as f:
+        json.dump(payload, f)
+    print(f"[chip_session] wrote {name}: {json.dumps(payload)[:200]}",
+          flush=True)
+
+
+def main() -> int:
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        print("no TPU; aborting", file=sys.stderr)
+        return 1
+
+    t0 = time.time()
+
+    # ---- 1. kernel validation (rollout kernels + fused update grads)
+    try:
+        import scripts.pallas_tpu_check as check
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = check.main()
+        payload = json.loads(buf.getvalue())
+        _write("check.json", payload)
+        print(f"[chip_session] check rc={rc} t={time.time()-t0:.0f}s",
+              flush=True)
+    except Exception as e:
+        _write("check.json", {"error": f"{type(e).__name__}: {e}"})
+
+    # ---- 2. end-to-end training bench (all variants)
+    import bench
+    devs = jax.devices()
+    rows = {}
+    for label, fr, fu, lk in [("xla", False, False, 1),
+                              ("fused_rollout", True, False, 1),
+                              ("fused_rollout+update", True, True, 1),
+                              ("fused_rollout+update+loop8", True, True, 8)]:
+        try:
+            rows[label] = round(bench.measure_train_at(
+                devs, 4096, 64, fused=fr, fused_update=fu, loop_k=lk), 1)
+        except Exception as e:
+            rows[label] = f"unavailable ({type(e).__name__}: {e})"
+        _write("train.json", rows)
+        print(f"[chip_session] train {label} t={time.time()-t0:.0f}s",
+              flush=True)
+
+    # ---- 3. headline + obs-inclusive
+    try:
+        rates = bench.measure_pallas()
+        rates_obs = bench.measure_pallas(with_obs=True)
+        _write("headline.json", {
+            "repeats": [round(r, 1) for r in rates],
+            "repeats_with_obs": [round(r, 1) for r in rates_obs]})
+    except Exception as e:
+        _write("headline.json", {"error": f"{type(e).__name__}: {e}"})
+    print(f"[chip_session] headline t={time.time()-t0:.0f}s", flush=True)
+
+    # ---- 4. multi-traffic XLA engine cost
+    try:
+        import dataclasses
+        from acas2d_tpu.config import DEFAULT_PARAMS
+        P3 = dataclasses.replace(DEFAULT_PARAMS, min_traffic=3, max_traffic=3)
+        r1 = bench.measure(B=65536, T=128, iters=4, repeats=2, with_obs=True)
+        r3 = bench.measure(B=65536, T=128, iters=4, repeats=2, with_obs=True,
+                           params=P3)
+        _write("multitraffic.json", {
+            "traffic1_obs": round(max(r1), 1),
+            "traffic3_obs": round(max(r3), 1),
+            "relative_cost": round(max(r1) / max(r3), 2)})
+    except Exception as e:
+        _write("multitraffic.json", {"error": f"{type(e).__name__}: {e}"})
+    print(f"[chip_session] done t={time.time()-t0:.0f}s", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -158,9 +158,16 @@ def main() -> int:
     fields = (jnp.asarray(obs), jnp.asarray(act), jnp.asarray(old_logp),
               jnp.asarray(value), jnp.asarray(adv), jnp.asarray(ret))
 
-    (loss, aux), ref_g = jax.jit(
-        lambda p, f: jax.value_and_grad(learner.ppo_loss, has_aux=True)(
-            p, model, f, cfg))(params, fields)
+    gfn = lambda p, f: jax.value_and_grad(learner.ppo_loss, has_aux=True)(
+        p, model, f, cfg)
+    (loss, aux), ref_def = jax.jit(gfn)(params, fields)
+    # highest-precision (6-pass f32) oracle: the kernel's MXU dots and
+    # XLA's default-precision (bf16-pass) grads BOTH round ~4e-3 from it
+    # in different directions; comparing kernel vs default alone doubles
+    # the apparent error (measured on v5e, 2026-08: worst leaf def-vs-hi
+    # 5.3e-3, kernel-vs-hi 5.8e-3)
+    with jax.default_matmul_precision("highest"):
+        (_, _), ref_hi = jax.jit(gfn)(params, fields)
     grads, kaux = jax.jit(lambda p, d: pallas_update.ppo_minibatch_grads(
         p, d, clip_range=cfg.clip_range, vf_coef=cfg.vf_coef,
         ent_coef=cfg.ent_coef, interpret=False))(params, packed)
@@ -168,17 +175,34 @@ def main() -> int:
     upd = {"clip_fraction": float(aux["clip_fraction"])}
     if not 0.1 < upd["clip_fraction"] < 0.9:
         failures.append("update fixture does not straddle the clip band")
-    worst = 0.0
-    for (pa, a), (_, b) in zip(
-            jax.tree_util.tree_leaves_with_path(ref_g),
+    worst_k = worst_d = 0.0
+    for (pa, hi), (_, de), (_, ke) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_hi),
+            jax.tree_util.tree_leaves_with_path(ref_def),
             jax.tree_util.tree_leaves_with_path(grads)):
-        a, b = np.asarray(a), np.asarray(b)
-        rel = float(np.abs(a - b).max() / (np.abs(a).max() + 1e-12))
-        worst = max(worst, rel)
-        if rel > 2e-3:   # on-chip f32 matmul (MXU pass) rounding budget
+        hi, de, ke = np.asarray(hi), np.asarray(de), np.asarray(ke)
+        scale = np.abs(hi).max() + 1e-12
+        rel_d = float(np.abs(hi - de).max() / scale)   # XLA's own rounding
+        rel_k = float(np.abs(hi - ke).max() / scale)   # kernel rounding
+        worst_d = max(worst_d, rel_d)
+        worst_k = max(worst_k, rel_k)
+        # hard per-leaf cap: anything past 1e-2 is a real divergence, not
+        # MXU-pass rounding
+        if rel_k > 1e-2:
             failures.append(
-                f"update grad {jax.tree_util.keystr(pa)} rel err {rel:.2e}")
-    upd["worst_grad_rel_err"] = worst
+                f"update grad {jax.tree_util.keystr(pa)}: kernel rel err "
+                f"{rel_k:.2e} vs XLA-default rounding {rel_d:.2e}")
+    # aggregate criterion: per-leaf ratios are noisy (summation-order
+    # rounding is direction-random; a leaf where XLA lands lucky shows a
+    # big ratio) but the kernel's rounding ENVELOPE must match XLA's —
+    # measured v5e: kernel 5.8e-3 vs XLA-default 5.3e-3 (the interpreter
+    # tests pin the math itself to 1e-5 against CPU jax.grad)
+    if worst_k > max(3e-3, 2.0 * worst_d):
+        failures.append(
+            f"update grads: kernel rounding envelope {worst_k:.2e} exceeds "
+            f"2x the XLA default-precision envelope {worst_d:.2e}")
+    upd["worst_grad_rel_err_kernel_vs_highest"] = worst_k
+    upd["worst_grad_rel_err_xladefault_vs_highest"] = worst_d
     upd["loss"] = [float(kaux["loss"]), float(loss)]
     if abs(upd["loss"][0] - upd["loss"][1]) > 1e-4 * (1 + abs(upd["loss"][1])):
         failures.append(f"update loss mismatch {upd['loss']}")
