@@ -58,17 +58,31 @@ N_COLS = 13
 
 
 def _ppo_grad_kernel(log_std_ref,
-                     w1_ref, b1_ref, w2_ref, b2_ref, wa_ref, ba_ref,
-                     v1_ref, c1_ref, v2_ref, c2_ref, wv_ref, bv_ref,
+                     w1c_ref, b1c_ref, w2c_ref, b2c_ref, w3c_ref, b3c_ref,
                      data_ref,
-                     # outputs: grads in kernel (feature-major) layout
-                     dw1, db1, dw2, db2, dwa, dba,
-                     dv1, dc1, dv2, dc2, dwv, dbv, dls,
+                     # outputs: grads in the packed (feature-major) layout
+                     dw1c, db1c, dw2c, db2c, dw3c, db3c, dls,
                      # loss-statistic sums over rows
                      pl_sum, vl_sum, kl_sum, cf_sum,
-                     *, n_rows: int, clip_range: float, vf_coef: float):
-    grads = (dw1, db1, dw2, db2, dwa, dba,
-             dv1, dc1, dv2, dc2, dwv, dbv, dls,
+                     *, n_rows: int, clip_range: float, vf_coef: float,
+                     bf16: bool):
+    """Both 64-wide towers are PACKED into one 128-wide network
+    (_pack_update_params): layer 1 stacks [w1; v1] -> (128, 8), layer 2 is
+    block-diagonal [[w2, 0], [0, v2]] -> (128, 128), the heads stack
+    [wa, 0; 0, wv] into rows 0/1 of an (8, 128) matrix.  The MXU processes
+    a 128x128 tile per pass regardless of operand size, so one packed
+    matmul costs HALF of two 64-wide ones; the off-diagonal blocks of
+    dW2c/dW3c computed by the backward are artifacts of the packing and are
+    discarded at unpack (the forward's block structure is exact because the
+    zero blocks annihilate cross-tower terms).
+
+    `bf16`: feed the MXU bf16 operands (f32 accumulate, f32 everywhere
+    else).  The f32 kernel is MXU-pass-bound (measured ~147us/step at
+    minibatch 65536 on v5e); bf16 runs the passes at 4x the f32 rate.
+    Gradient rounding grows to ~1e-2 relative — far below PPO's gradient
+    noise but outside the bit-compat contract, so it is opt-in
+    (PPOConfig.fused_update_bf16)."""
+    grads = (dw1c, db1c, dw2c, db2c, dw3c, db3c, dls,
              pl_sum, vl_sum, kl_sum, cf_sum)
 
     @pl.when(pl.program_id(0) == 0)
@@ -88,35 +102,38 @@ def _ppo_grad_kernel(log_std_ref,
     adv = d[_ADV:_RET, :]               # pre-normalized per minibatch
     ret = d[_RET:N_COLS, :]
 
-    w1 = w1_ref[:]
-    w2 = w2_ref[:]
-    wa = wa_ref[:]
-    v1 = v1_ref[:]
-    v2 = v2_ref[:]
-    wv = wv_ref[:]
+    w1c = w1c_ref[:]                    # (128, 8)
+    w2c = w2c_ref[:]                    # (128, 128) block-diagonal
+    w3c = w3c_ref[:]                    # (8, 128); row 0 = wa, row 1 = wv
+
+    md = jnp.bfloat16 if bf16 else jnp.float32
 
     def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        return jnp.dot(a.astype(md), b.astype(md),
+                       preferred_element_type=jnp.float32)
 
     def dot_cc(a, b):
         """Contract the last (lane/C) dim of both: (m, C) x (n, C) -> (m, n)
         without materializing a transpose relayout."""
-        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+        return jax.lax.dot_general(a.astype(md), b.astype(md),
+                                   (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
     def dot_ff(a, b):
         """Contract the first (feature) dim of both: (k, m) x (k, C)
         -> (m, C) — a.T @ b without the transpose relayout."""
-        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+        return jax.lax.dot_general(a.astype(md), b.astype(md),
+                                   (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
     # ---- forward (feature-major; matches models/actor_critic.py)
-    h1 = jnp.tanh(dot(w1, x) + b1_ref[:])
-    h2 = jnp.tanh(dot(w2, h1) + b2_ref[:])
-    mean = dot(wa, h2) + ba_ref[:]              # (1, C)
-    g1 = jnp.tanh(dot(v1, x) + c1_ref[:])
-    g2 = jnp.tanh(dot(v2, g1) + c2_ref[:])
-    value = dot(wv, g2) + bv_ref[:]             # (1, C)
+    # H1 rows 0-63 = pi tower h1, rows 64-127 = vf tower g1; the
+    # block-diagonal layer 2 keeps the towers independent
+    H1 = jnp.tanh(dot(w1c, x) + b1c_ref[:])     # (128, C)
+    H2 = jnp.tanh(dot(w2c, H1) + b2c_ref[:])    # (128, C)
+    O = dot(w3c, H2) + b3c_ref[:]               # (8, C); rows 0/1 live
+    mean = O[0:1, :]
+    value = O[1:2, :]
 
     diff = act - mean
     logp = -0.5 * (diff * diff / var + 2.0 * cls + jnp.float32(LOG_2PI))
@@ -158,35 +175,45 @@ def _ppo_grad_kernel(log_std_ref,
 
     dvalue = (jnp.float32(vf_coef) * 2.0 * inv_n) * verr    # (1, C)
 
-    def tower_bwd(dout, wout, hb, ha, win, xin, douts):
-        """Backprop Dense->tanh->Dense->tanh->Dense given head grad dout.
+    # head grads stacked into the packed (8, C) layout (rows 2-7 zero)
+    dO = jnp.concatenate(
+        [dmean, dvalue, jnp.zeros((6, dmean.shape[1]), jnp.float32)], axis=0)
+    dw3c[...] += dot_cc(dO, H2)                 # (8, 128)
+    db3c[...] += jnp.sum(dO, axis=1, keepdims=True)
+    dH2 = dot_ff(w3c, dO)                       # (128, C)
+    E2 = dH2 * (1.0 - H2 * H2)
+    dw2c[...] += dot_cc(E2, H1)                 # (128, 128)
+    db2c[...] += jnp.sum(E2, axis=1, keepdims=True)
+    dH1 = dot_ff(w2c, E2)                       # (128, C)
+    E1 = dH1 * (1.0 - H1 * H1)
+    dw1c[...] += dot_cc(E1, x)                  # (128, 8)
+    db1c[...] += jnp.sum(E1, axis=1, keepdims=True)
 
-        douts = (dW_in, db_in, dW_hid, db_hid, dW_head, db_head) refs."""
-        dwh_in, dbh_in, dwh_hid, dbh_hid, dwh_head, dbh_head = douts
-        dwh_head[...] += dot_cc(dout, hb)
-        dbh_head[...] += jnp.sum(dout, keepdims=True)
-        dh2 = dot_ff(wout, dout)
-        e2 = dh2 * (1.0 - hb * hb)
-        dwh_hid[...] += dot_cc(e2, ha)
-        dbh_hid[...] += jnp.sum(e2, axis=1, keepdims=True)
-        dh1 = dot_ff(win, e2)
-        e1 = dh1 * (1.0 - ha * ha)
-        dwh_in[...] += dot_cc(e1, xin)
-        dbh_in[...] += jnp.sum(e1, axis=1, keepdims=True)
 
-    tower_bwd(dmean, wa, h2, h1, w2, x, (dw1, db1, dw2, db2, dwa, dba))
-    tower_bwd(dvalue, wv, g2, g1, v2, x, (dv1, dc1, dv2, dc2, dwv, dbv))
+def _pack_update_params(params) -> Tuple[jax.Array, ...]:
+    """Flax ActorCritic params -> packed two-towers-in-one f32 operands:
+    (w1c (128,8), b1c (128,1), w2c (128,128) block-diag, b2c (128,1),
+    w3c (8,128) heads in rows 0/1, b3c (8,1))."""
+    (w1, b1, w2, b2, wa, ba, v1, c1, v2, c2, wv, bv) = (
+        _pack_policy_params(params))
+    w1c = jnp.concatenate([w1, v1], axis=0)
+    b1c = jnp.concatenate([b1, c1], axis=0)
+    w2c = jnp.zeros((128, 128), jnp.float32)
+    w2c = w2c.at[:64, :64].set(w2).at[64:, 64:].set(v2)
+    b2c = jnp.concatenate([b2, c2], axis=0)
+    w3c = jnp.zeros((8, 128), jnp.float32)
+    w3c = w3c.at[0:1, :64].set(wa).at[1:2, 64:].set(wv)
+    b3c = jnp.zeros((8, 1), jnp.float32)
+    b3c = b3c.at[0:1].set(ba).at[1:2].set(bv)
+    return (w1c, b1c, w2c, b2c, w3c, b3c)
 
 
 def _grad_out_shapes():
     f32 = jnp.float32
     s = jax.ShapeDtypeStruct
-    return [s((64, 8), f32), s((64, 1), f32),      # dw1, db1
-            s((64, 64), f32), s((64, 1), f32),     # dw2, db2
-            s((1, 64), f32), s((1, 1), f32),       # dwa, dba
-            s((64, 8), f32), s((64, 1), f32),      # dv1, dc1
-            s((64, 64), f32), s((64, 1), f32),     # dv2, dc2
-            s((1, 64), f32), s((1, 1), f32),       # dwv, dbv
+    return [s((128, 8), f32), s((128, 1), f32),    # dw1c, db1c
+            s((128, 128), f32), s((128, 1), f32),  # dw2c, db2c
+            s((8, 128), f32), s((8, 1), f32),      # dw3c, db3c
             s((1, 1), f32),                        # dls
             s((1, 1), f32), s((1, 1), f32),        # pl_sum, vl_sum
             s((1, 1), f32), s((1, 1), f32)]        # kl_sum, cf_sum
@@ -210,7 +237,8 @@ def supported(minibatch_size: int) -> bool:
 def ppo_minibatch_grads(params, mb_data: jax.Array, *, clip_range: float,
                         vf_coef: float, ent_coef: float,
                         normalize_advantage: bool = True,
-                        interpret: bool = False, max_chunk: int = 2048
+                        interpret: bool = False, max_chunk: int = 2048,
+                        bf16: bool = False
                         ) -> Tuple[Dict, Dict[str, jax.Array]]:
     """Gradients of learner.ppo_loss for one packed minibatch.
 
@@ -233,7 +261,7 @@ def ppo_minibatch_grads(params, mb_data: jax.Array, *, clip_range: float,
         mb_data = mb_data.at[:, _ADV].set(advn)
     dataT = mb_data.astype(f32).T               # (13, n): one cheap transpose
 
-    weights = _pack_policy_params(params)
+    weights = _pack_update_params(params)
     log_std = params["params"]["log_std"].astype(f32).reshape(1, 1)
 
     wspec = [pl.BlockSpec(w.shape, lambda g, r=len(w.shape): (0,) * r,
@@ -245,7 +273,8 @@ def ppo_minibatch_grads(params, mb_data: jax.Array, *, clip_range: float,
                  for s in _grad_out_shapes()]
 
     kernel = functools.partial(_ppo_grad_kernel, n_rows=n,
-                               clip_range=clip_range, vf_coef=vf_coef)
+                               clip_range=clip_range, vf_coef=vf_coef,
+                               bf16=bf16)
     outs = pl.pallas_call(
         kernel,
         grid=(n // C,),
@@ -256,8 +285,7 @@ def ppo_minibatch_grads(params, mb_data: jax.Array, *, clip_range: float,
         interpret=interpret,
     )(log_std, *weights, dataT)
 
-    (dw1, db1, dw2, db2, dwa, dba,
-     dv1, dc1, dv2, dc2, dwv, dbv, dls,
+    (dw1c, db1c, dw2c, db2c, dw3c, db3c, dls,
      pl_sum, vl_sum, kl_sum, cf_sum) = outs
 
     # entropy term: entropy = 0.5*(1+log 2pi) + log_std (scalar); the loss
@@ -268,14 +296,17 @@ def ppo_minibatch_grads(params, mb_data: jax.Array, *, clip_range: float,
         """Kernel layout (out_feat, in_feat) -> flax (in, out) + (out,)."""
         return {"kernel": dk.T, "bias": db.reshape(-1)}
 
+    # slice the per-tower blocks back out of the packed grads; the
+    # off-diagonal blocks of dw2c/dw3c are packing artifacts (see kernel
+    # docstring) and are dropped here
     ref = params["params"]
     grads = {"params": {
-        "pi_tower": {"dense_0": unpack(dw1, db1),
-                     "dense_1": unpack(dw2, db2)},
-        "vf_tower": {"dense_0": unpack(dv1, dc1),
-                     "dense_1": unpack(dv2, dc2)},
-        "action_head": unpack(dwa, dba),
-        "value_head": unpack(dwv, dbv),
+        "pi_tower": {"dense_0": unpack(dw1c[:64], db1c[:64]),
+                     "dense_1": unpack(dw2c[:64, :64], db2c[:64])},
+        "vf_tower": {"dense_0": unpack(dw1c[64:], db1c[64:]),
+                     "dense_1": unpack(dw2c[64:, 64:], db2c[64:])},
+        "action_head": unpack(dw3c[0:1, :64], db3c[0:1]),
+        "value_head": unpack(dw3c[1:2, 64:], db3c[1:2]),
         "log_std": dls_total.reshape(ref["log_std"].shape),
     }}
     grads = jax.tree.map(lambda g, p: g.astype(p.dtype), grads, params)

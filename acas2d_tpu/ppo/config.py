@@ -63,6 +63,26 @@ class PPOConfig:
     # (minibatch_size / n_devices) % 128 == 0 and the default
     # (64,64)/obs-8 architecture.
     fused_update: bool = False
+    # Feed the fused update's MXU matmuls bf16 operands (f32 accumulate).
+    # The f32 kernel is MXU-pass-bound; bf16 runs ~4x faster.  Gradient
+    # rounding grows to ~1e-2 relative — far below PPO's gradient noise
+    # (learning-curve parity pinned statistically), but outside the
+    # grads-match-jax.grad bit-compat contract, hence opt-in.
+    fused_update_bf16: bool = False
+    # Columns per kernel grid step.  The grid is sequential with ~4-5us
+    # fixed cost per step (measured v5e), which dominates the 167us f32
+    # grad step at 2048 cols x 32 chunks; 4096 halves the chunk count.
+    # Larger values pressure VMEM ((128, C) activations live through the
+    # backward); 16384 fails to compile on v5e.
+    fused_update_chunk: int = 4096
+    # Rematerialize the XLA update's backward pass (jax.checkpoint around
+    # the loss): the grad step is HBM-bound on the (minibatch, 64) tower
+    # activations round-tripping between forward and backward (~134 MB per
+    # 65536-row minibatch, ~133us measured on v5e); remat recomputes them
+    # from the 3.4 MB minibatch instead, trading cheap MXU flops for the
+    # dominant HBM traffic.  Exact same gradients (same float ops, same
+    # order) — only the schedule changes.
+    update_remat: bool = False
 
     seed: int = 13                   # settings.py:28
 

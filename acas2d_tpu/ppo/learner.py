@@ -321,7 +321,9 @@ def make_fused_grads_fn(cfg: PPOConfig, mesh=None) -> Callable:
         f"minibatch {cfg.minibatch_size} over {n_shards} devices")
 
     kernel_kw = dict(clip_range=cfg.clip_range, vf_coef=cfg.vf_coef,
-                     ent_coef=cfg.ent_coef, interpret=interpret)
+                     ent_coef=cfg.ent_coef, interpret=interpret,
+                     bf16=cfg.fused_update_bf16,
+                     max_chunk=cfg.fused_update_chunk)
     if mesh is None:
         return functools.partial(
             pallas_update.ppo_minibatch_grads,
@@ -385,7 +387,12 @@ def ppo_update(model: ActorCritic, tx: optax.GradientTransformation,
         return (obs, actions, logp[..., 0], values[..., 0],
                 adv[..., 0], ret[..., 0])
 
-    grad_fn = jax.value_and_grad(ppo_loss, has_aux=True)
+    loss_fn = lambda p, mb: ppo_loss(p, model, mb, cfg)
+    if cfg.update_remat:
+        # recompute the tower activations in the backward instead of
+        # round-tripping them through HBM (see PPOConfig.update_remat)
+        loss_fn = jax.checkpoint(loss_fn)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     if cfg.fused_update:
         fused_grads = make_fused_grads_fn(cfg, mesh)
 
@@ -401,7 +408,7 @@ def ppo_update(model: ActorCritic, tx: optax.GradientTransformation,
                 # mb is already the kernel's packed (mb_size, 13) layout
                 grads, aux = fused_grads(params, mb)
             else:
-                (loss, aux), grads = grad_fn(params, model, unpack(mb), cfg)
+                (loss, aux), grads = grad_fn(params, unpack(mb))
                 aux["loss"] = loss
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)

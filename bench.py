@@ -176,7 +176,8 @@ def measure_rollout_at(devices, n_envs: int, T: int, iters: int = 4,
 
 def measure_train_at(devices, n_envs: int, n_steps: int, iters: int = 2,
                      repeats: int = 2, fused: bool = False,
-                     fused_update: bool = False, loop_k: int = 1) -> float:
+                     fused_update: bool = False, loop_k: int = 1,
+                     bf16_update: bool = False) -> float:
     """Full PPO train_step (rollout + GAE + 10 epochs of minibatch Adam)
     env-steps/s with env state sharded over `devices`; params replicated,
     gradients all-reduced by XLA (psum over the mesh).  `fused` collects
@@ -207,7 +208,8 @@ def measure_train_at(devices, n_envs: int, n_steps: int, iters: int = 2,
                     minibatch_size=minibatch,
                     total_timesteps=batch, fused_rollout=fused,
                     fused_chunk=min(16, n_steps),
-                    fused_update=fused_update)
+                    fused_update=fused_update,
+                    fused_update_bf16=bf16_update)
     model = ActorCritic()
     st = learner.init_train_state(jax.random.PRNGKey(0), model, cfg, P)
     mesh = mesh_lib.make_mesh(devices)
@@ -327,17 +329,22 @@ def train_main(args) -> int:
     sizes: rollout + GAE + 10 update epochs per iteration), XLA rollout vs
     the fused policy-in-kernel Pallas rollout."""
     devs = jax.devices()
-    variants = [("xla", False, False, 1)]
+    variants = [("xla", False, False, 1, False)]
     if args.fused != "off":
-        variants += [("fused_rollout", True, False, 1),
-                     ("fused_rollout+update", True, True, 1),
-                     ("fused_rollout+update+loop8", True, True, 8)]
+        variants += [
+            ("fused_rollout", True, False, 1, False),
+            # the production config (docs/PERFORMANCE.md "End-to-end
+            # training"): fused rollout + XLA update + 32 iterations per
+            # device program (train.py --iters-per-call 32)
+            ("fused_rollout+loop32", True, False, 32, False),
+            ("fused_rollout+update+loop32", True, True, 32, False),
+            ("fused_rollout+update_bf16+loop32", True, True, 32, True)]
     rows = {}
-    for label, fr, fu, lk in variants:
+    for label, fr, fu, lk, bf in variants:
         try:
             rows[label] = round(measure_train_at(
                 devs, args.train_envs, args.train_steps,
-                fused=fr, fused_update=fu, loop_k=lk), 1)
+                fused=fr, fused_update=fu, loop_k=lk, bf16_update=bf), 1)
         except Exception as e:          # pallas path absent on this backend
             rows[label] = f"unavailable ({type(e).__name__})"
     best = max((v for v in rows.values() if isinstance(v, float)),
@@ -374,8 +381,9 @@ def main():
     ap.add_argument("--envs-per-device", type=int, default=32768)
     ap.add_argument("--bench-steps", type=int, default=128,
                     help="--scaling: rollout scan length")
-    ap.add_argument("--train-steps", type=int, default=64,
-                    help="--scaling: PPO n_steps per iteration")
+    ap.add_argument("--train-steps", type=int, default=128,
+                    help="--scaling / --train: PPO n_steps per iteration "
+                         "(128 = the tpu preset)")
     ap.add_argument("--platform", choices=["default", "cpu"], default="default",
                     help="force the CPU backend (this machine's "
                          "sitecustomize pins jax_platforms to the axon TPU, "

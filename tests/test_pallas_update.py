@@ -128,3 +128,35 @@ def test_fused_update_train_step_tracks_xla():
     for a, b in zip(jax.tree.leaves(st_x.params), jax.tree.leaves(st_f.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=2e-5)
+
+
+def test_bf16_grads_track_f32():
+    """bf16 MXU operands (cfg.fused_update_bf16): gradients stay within
+    bf16 rounding (~1e-2 relative) of the f32 kernel and the losses agree —
+    the opt-in fast path trades bit-compat for ~4x MXU rate, not
+    correctness."""
+    model = ActorCritic()
+    cfg = PPOConfig(n_envs=2, n_steps=128, minibatch_size=256,
+                    total_timesteps=256)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.float32))
+    packed, _ = _make_minibatch(params, model)
+
+    g32, a32 = pallas_update.ppo_minibatch_grads(
+        params, packed, clip_range=cfg.clip_range, vf_coef=cfg.vf_coef,
+        ent_coef=cfg.ent_coef, interpret=True)
+    g16, a16 = pallas_update.ppo_minibatch_grads(
+        params, packed, clip_range=cfg.clip_range, vf_coef=cfg.vf_coef,
+        ent_coef=cfg.ent_coef, interpret=True, bf16=True)
+
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g32),
+            jax.tree_util.tree_leaves_with_path(g16)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        # relative to leaf scale, with an absolute floor: near-zero-gradient
+        # leaves inherit upstream bf16 rounding proportional to the LARGE
+        # intermediates, not their own magnitude
+        assert np.abs(a - b).max() < 3e-2 * scale + 5e-6, \
+            jax.tree_util.keystr(pa)
+    np.testing.assert_allclose(float(a16["loss"]), float(a32["loss"]),
+                               rtol=5e-3)

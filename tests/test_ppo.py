@@ -191,3 +191,23 @@ def test_train_step_with_block_shuffle():
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                      st.params, st2.params)
     assert max(jax.tree.leaves(d)) > 0
+
+
+def test_update_remat_matches_exact():
+    """cfg.update_remat only reschedules the backward (recompute vs stored
+    activations): same float ops, params must match the non-remat train_step
+    to the tightest tolerance."""
+    import dataclasses
+
+    cfg = PPOConfig(n_envs=16, n_steps=32, minibatch_size=128,
+                    total_timesteps=16 * 32, n_epochs=2)
+    model = ActorCritic()
+    st = learner.init_train_state(jax.random.PRNGKey(3), model, cfg, P)
+    st_a, m_a = jax.jit(learner.make_train_step(model, cfg, P))(st)
+    cfg_r = dataclasses.replace(cfg, update_remat=True)
+    st_b, m_b = jax.jit(learner.make_train_step(model, cfg_r, P))(st)
+    np.testing.assert_allclose(float(m_b["loss"]), float(m_a["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(st_a.params), jax.tree.leaves(st_b.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-8)

@@ -56,6 +56,11 @@ def parse_args(argv=None):
                         "of a scan of separate policy/env kernels")
     p.add_argument("--fused-chunk", type=int, default=None,
                    help="steps per fused rollout launch (default 16)")
+    p.add_argument("--fused-update-bf16", action="store_true",
+                   help="bf16 MXU operands (f32 accumulate) inside the "
+                        "fused update kernel: ~4x the matmul rate, grad "
+                        "rounding ~1e-2 relative (statistically neutral "
+                        "for PPO; outside the bit-compat contract)")
     p.add_argument("--fused-update", action="store_true",
                    help="compute each PPO minibatch gradient with the fused "
                         "Pallas forward+backward kernel "
@@ -125,6 +130,9 @@ def build_config(args) -> PPOConfig:
         overrides["fused_chunk"] = args.fused_chunk
     if args.fused_update:
         overrides["fused_update"] = True
+    if args.fused_update_bf16:
+        overrides["fused_update"] = True
+        overrides["fused_update_bf16"] = True
     if args.eval_every is not None:
         overrides["eval_every_steps"] = args.eval_every
     overrides["seed"] = args.seed
