@@ -67,9 +67,11 @@ def _unflatten_row(r):
 def fused_policy_rollout_kernel(
         # scalar prefetch/SMEM operands
         seed_ref, log_std_ref,
-        # policy weights, pre-transposed host-side (VMEM, replicated)
-        w1_ref, b1_ref, w2_ref, b2_ref, wa_ref, ba_ref,
-        v1_ref, c1_ref, v2_ref, c2_ref, wv_ref, bv_ref,
+        # policy weights, packed two-towers-in-one host-side (VMEM,
+        # replicated): [w1;v1] (128,8), block-diag [[w2,0],[0,v2]]
+        # (128,128), heads in rows 0/1 of (8,128) — every matmul a full
+        # 128-wide MXU tile instead of two half-utilized 64-wide ones
+        w1c_ref, b1c_ref, w2c_ref, b2c_ref, w3c_ref, b3c_ref,
         # carried state blocks (1, 8, 128)
         px0, py0, psi0, tx0, ty0, tv0, tpsi0, steps0, tot0,
         # carried obs matrix block (1, 8, E)
@@ -101,28 +103,23 @@ def fused_policy_rollout_kernel(
 
     bearing = goal_bearing(p)
 
-    w1 = w1_ref[:]       # (64, 8)
-    b1 = b1_ref[:]       # (64, 1)
-    w2 = w2_ref[:]       # (64, 64)
-    b2 = b2_ref[:]       # (64, 1)
-    wa = wa_ref[:]       # (1, 64)
-    ba = ba_ref[:]       # (1, 1)
-    v1 = v1_ref[:]
-    c1 = c1_ref[:]
-    v2 = v2_ref[:]
-    c2 = c2_ref[:]
-    wv = wv_ref[:]
-    bv = bv_ref[:]
+    w1c = w1c_ref[:]     # (128, 8)
+    b1c = b1c_ref[:]     # (128, 1)
+    w2c = w2c_ref[:]     # (128, 128) block-diagonal
+    b2c = b2c_ref[:]     # (128, 1)
+    w3c = w3c_ref[:]     # (8, 128); row 0 = action head, row 1 = value
+    b3c = b3c_ref[:]     # (8, 1)
 
     def policy(M):
-        """Feature-major MLP: M (8, E) -> (mean (1,E), value (1,E))."""
-        h = jnp.tanh(jnp.dot(w1, M, preferred_element_type=jnp.float32) + b1)
-        h = jnp.tanh(jnp.dot(w2, h, preferred_element_type=jnp.float32) + b2)
-        mean = jnp.dot(wa, h, preferred_element_type=jnp.float32) + ba
-        g = jnp.tanh(jnp.dot(v1, M, preferred_element_type=jnp.float32) + c1)
-        g = jnp.tanh(jnp.dot(v2, g, preferred_element_type=jnp.float32) + c2)
-        value = jnp.dot(wv, g, preferred_element_type=jnp.float32) + bv
-        return mean, value
+        """Feature-major MLP: M (8, E) -> (mean (1,E), value (1,E)).
+        Rows 0-63 of H carry the pi tower, 64-127 the vf tower; the
+        block-diagonal layer 2 keeps them independent."""
+        H = jnp.tanh(jnp.dot(w1c, M, preferred_element_type=jnp.float32)
+                     + b1c)
+        H = jnp.tanh(jnp.dot(w2c, H, preferred_element_type=jnp.float32)
+                     + b2c)
+        O = jnp.dot(w3c, H, preferred_element_type=jnp.float32) + b3c
+        return O[0:1, :], O[1:2, :]
 
     def build_obs(steps, psi, d_goal, h_goal_rad, d_dev, d_sep, d_cpa,
                   v_closing):
@@ -282,6 +279,27 @@ def _pack_policy_params(params) -> Tuple[jax.Array, ...]:
             pr["value_head"]["bias"].astype(f32).reshape(1, 1))
 
 
+def pack_params_two_towers(params) -> Tuple[jax.Array, ...]:
+    """Flax ActorCritic params -> packed two-towers-in-one f32 operands:
+    (w1c (128,8), b1c (128,1), w2c (128,128) block-diag, b2c (128,1),
+    w3c (8,128) heads in rows 0/1, b3c (8,1)).  The MXU processes a
+    128x128 tile per pass regardless of operand size, so one packed matmul
+    costs half of two 64-wide ones; the zero blocks keep the towers
+    exactly independent."""
+    (w1, b1, w2, b2, wa, ba, v1, c1, v2, c2, wv, bv) = (
+        _pack_policy_params(params))
+    w1c = jnp.concatenate([w1, v1], axis=0)
+    b1c = jnp.concatenate([b1, c1], axis=0)
+    w2c = jnp.zeros((128, 128), jnp.float32)
+    w2c = w2c.at[:64, :64].set(w2).at[64:, 64:].set(v2)
+    b2c = jnp.concatenate([b2, c2], axis=0)
+    w3c = jnp.zeros((8, 128), jnp.float32)
+    w3c = w3c.at[0:1, :64].set(wa).at[1:2, 64:].set(wv)
+    b3c = jnp.zeros((8, 1), jnp.float32)
+    b3c = b3c.at[0:1].set(ba).at[1:2].set(bv)
+    return (w1c, b1c, w2c, b2c, w3c, b3c)
+
+
 def fused_policy_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
                          obs, policy_params, seed, step_offset, K: int,
                          params: EnvParams = DEFAULT_PARAMS,
@@ -331,7 +349,7 @@ def fused_policy_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
     # operand's rank)
     wspec = [pl.BlockSpec(w.shape, lambda g, r=len(w.shape): (0,) * r,
                           memory_space=pltpu.VMEM)
-             for w in _pack_policy_params(policy_params)]
+             for w in pack_params_two_towers(policy_params)]
 
     out_specs = ([blk] * 9 + [obs_blk]
                  + [kobs] + [kbuf] * 5
@@ -349,7 +367,7 @@ def fused_policy_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
     # fix ep_len buffer dtype (int32) at index -3
     out_shapes[-3] = jax.ShapeDtypeStruct((G, K, 8, 128), jnp.int32)
 
-    weights = _pack_policy_params(policy_params)
+    weights = pack_params_two_towers(policy_params)
     log_std = policy_params["params"]["log_std"].astype(f32).reshape(1, 1)
 
     kernel = functools.partial(fused_policy_rollout_kernel, K=K, p=params)

@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from acas2d_tpu.ops.pallas_policy import _pack_policy_params
+from acas2d_tpu.ops.pallas_policy import pack_params_two_towers
 
 LOG_2PI = math.log(2.0 * math.pi)
 
@@ -190,22 +190,8 @@ def _ppo_grad_kernel(log_std_ref,
     db1c[...] += jnp.sum(E1, axis=1, keepdims=True)
 
 
-def _pack_update_params(params) -> Tuple[jax.Array, ...]:
-    """Flax ActorCritic params -> packed two-towers-in-one f32 operands:
-    (w1c (128,8), b1c (128,1), w2c (128,128) block-diag, b2c (128,1),
-    w3c (8,128) heads in rows 0/1, b3c (8,1))."""
-    (w1, b1, w2, b2, wa, ba, v1, c1, v2, c2, wv, bv) = (
-        _pack_policy_params(params))
-    w1c = jnp.concatenate([w1, v1], axis=0)
-    b1c = jnp.concatenate([b1, c1], axis=0)
-    w2c = jnp.zeros((128, 128), jnp.float32)
-    w2c = w2c.at[:64, :64].set(w2).at[64:, 64:].set(v2)
-    b2c = jnp.concatenate([b2, c2], axis=0)
-    w3c = jnp.zeros((8, 128), jnp.float32)
-    w3c = w3c.at[0:1, :64].set(wa).at[1:2, 64:].set(wv)
-    b3c = jnp.zeros((8, 1), jnp.float32)
-    b3c = b3c.at[0:1].set(ba).at[1:2].set(bv)
-    return (w1c, b1c, w2c, b2c, w3c, b3c)
+# packed two-towers-in-one operand builder, shared with the rollout kernel
+_pack_update_params = pack_params_two_towers
 
 
 def _grad_out_shapes():
