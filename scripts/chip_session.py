@@ -65,11 +65,12 @@ def main() -> int:
     rows = {}
     for label, fr, fu, lk in [("xla", False, False, 1),
                               ("fused_rollout", True, False, 1),
-                              ("fused_rollout+update", True, True, 1),
-                              ("fused_rollout+update+loop8", True, True, 8)]:
+                              ("fused_rollout+loop32", True, False, 32),
+                              ("fused_rollout+update+loop32", True, True, 32),
+                              ("fused_rollout+loop64", True, False, 64)]:
         try:
             rows[label] = round(bench.measure_train_at(
-                devs, 4096, 64, fused=fr, fused_update=fu, loop_k=lk), 1)
+                devs, 4096, 128, fused=fr, fused_update=fu, loop_k=lk), 1)
         except Exception as e:
             rows[label] = f"unavailable ({type(e).__name__}: {e})"
         _write("train.json", rows)
