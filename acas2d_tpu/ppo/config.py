@@ -123,10 +123,16 @@ def reference_config() -> PPOConfig:
     return PPOConfig()
 
 
-def tpu_default(n_envs: int = 4096, n_steps: int = 128,
+def tpu_default(n_envs: int = 2048, n_steps: int = 128,
                 total_timesteps: int = 2048 * 512 * 8,
                 minibatch_size: int = 65536) -> PPOConfig:
-    """Scaled config: same PPO semantics, TPU-sized batches."""
+    """Scaled config: same PPO semantics, TPU-sized batches.
+
+    n_envs=2048 (262,144-sample buffer) is the config of the flagship
+    artifact (ppo_tpu_e, 1252/100-ep): doubling the buffer to 4096 envs
+    halves the Adam update rounds per sample budget and measurably hurts
+    final policy quality (three 4096-env seeds at 268M steps plateaued at
+    150-650 return vs 971-1229 for 2048-env seeds, 2026-08-21)."""
     return PPOConfig(n_envs=n_envs, n_steps=n_steps,
                      total_timesteps=total_timesteps,
                      minibatch_size=minibatch_size,
