@@ -330,7 +330,13 @@ def train_main(args) -> int:
     the fused policy-in-kernel Pallas rollout."""
     devs = jax.devices()
     variants = [("xla", False, False, 1, False)]
-    if args.fused != "off":
+    if args.fused != "off" and jax.default_backend() == "cpu":
+        # the pallas interpreter would RUN the fused variants on CPU —
+        # at bench sizes that is hours, not an error; skip loudly
+        print("fused variants skipped on the CPU backend (pallas "
+              "interpreter only); use --fused off to silence",
+              file=sys.stderr)
+    elif args.fused != "off":
         variants += [
             ("fused_rollout", True, False, 1, False),
             # the production config (docs/PERFORMANCE.md "End-to-end
