@@ -13,7 +13,10 @@ the real TPU (Mosaic lowering), where interpret mode proves nothing:
      engine;
   3. fused PPO-update kernel (ops/pallas_update.py): hand-derived
      forward+backward gradients vs jax.grad(learner.ppo_loss) on a
-     clip-band-straddling minibatch, compared leaf-by-leaf on the chip.
+     clip-band-straddling minibatch, compared leaf-by-leaf on the chip;
+  4. policy-in-kernel rollout (ops/pallas_policy.py): the in-kernel packed
+     two-towers MLP's stored values/log-probs vs flax model.apply on the
+     kernel's own stored observations, Mosaic-lowered.
 
 Prints one JSON line; exit 0 = pass, 1 = fail, 0 with {"skipped": ...} when
 no TPU is attached.  Run directly or via
@@ -213,9 +216,55 @@ def main() -> int:
         if abs(a - b) > 1e-3 * (1 + abs(b)):
             failures.append(f"update aux {key}: kernel {a} vs xla {b}")
 
+    # ---- 4. policy-in-kernel rollout: in-kernel MLP vs flax, on chip
+    from acas2d_tpu.envs import vector
+    from acas2d_tpu.models.actor_critic import gaussian_log_prob
+    from acas2d_tpu.ops import pallas_policy
+
+    Bp = 2 * pallas_policy.E
+    Kp = 8
+    sp_state, sp_obs = jax.jit(
+        lambda k: vector.reset_batch(k, Bp, P, jnp.float32))(
+        jax.random.PRNGKey(23))
+    stp2, bufp = jax.jit(lambda s, o: pallas_policy.fused_policy_rollout(
+        s.px, s.py, s.ppsi, s.tx[:, 0], s.ty[:, 0], s.tv[:, 0],
+        s.tpsi[:, 0], s.steps, s.total_reward, o, params,
+        seed=3, step_offset=0, K=Kp))(sp_state,
+                                      sp_obs.astype(jnp.float32))
+    mean_f, log_std_f, value_f = jax.jit(
+        lambda o: model.apply(params, o))(bufp["obs"].reshape(Kp * Bp, 8))
+    logp_f = jax.jit(gaussian_log_prob)(
+        bufp["actions"].reshape(-1, 1), mean_f, log_std_f)
+    pol = {}
+    v_err = float(np.abs(np.asarray(bufp["values"]).reshape(-1)
+                         - np.asarray(value_f)).max())
+    lp_err = float(np.abs(np.asarray(bufp["log_probs"]).reshape(-1)
+                          - np.asarray(logp_f)).max())
+    pol["max_abs_err_value"] = v_err
+    pol["max_abs_err_log_prob"] = lp_err
+    # on-chip MXU f32 rounding budget (interpreter agrees to ~2e-4;
+    # round-2 measured ~3e-3 abs on chip)
+    if v_err > 2e-2 or lp_err > 2e-2:
+        failures.append(f"policy kernel vs flax: value err {v_err:.2e}, "
+                        f"logp err {lp_err:.2e}")
+    # carried pa_lat reproduces the carried obs through core.observe
+    from acas2d_tpu.envs import core as core_mod
+    es = sp_state.replace(
+        px=stp2["px"], py=stp2["py"], ppsi=stp2["psi"],
+        pa_lat=stp2["pa_lat"], tx=stp2["tx"][:, None],
+        ty=stp2["ty"][:, None], tv=stp2["tv"][:, None],
+        tpsi=stp2["tpsi"][:, None], steps=stp2["steps"] - 1,
+        total_reward=stp2["total_reward"])
+    _, obs_re = jax.jit(jax.vmap(lambda s: core_mod.observe(s, P)))(es)
+    obs_err = float(np.abs(np.asarray(obs_re, np.float32)
+                           - np.asarray(stp2["obs"])).max())
+    pol["max_abs_err_obs_recompute"] = obs_err
+    if obs_err > 2e-2:
+        failures.append(f"policy kernel obs recompute err {obs_err:.2e}")
+
     print(json.dumps({"ok": not failures, "failures": failures,
                       "deterministic": det, "statistical": stat,
-                      "update_grads": upd}))
+                      "update_grads": upd, "policy_kernel": pol}))
     return 1 if failures else 0
 
 
