@@ -208,11 +208,23 @@ class LegacyACAS2DEnv:
 
 # Best-effort legacy-gym registration (the reference registers 'ACAS2D-v0'
 # under old `gym`, gym_ACAS2D/__init__.py:3-6).  Old gym is not a
-# dependency of this package; when a user's environment has it installed,
+# dependency of this package; when a user's environment has a 4-tuple-era
+# release (< 0.26, the API the reference targets) installed,
 # `gym.make("ACAS2D-v0")` resolves to the 4-tuple legacy env below.
+# gym >= 0.26 switched to the gymnasium-style 5-tuple API (and wraps
+# every made env in checkers that enforce it), so there the registration
+# is skipped — those users get the gymnasium 'ACAS2D-v0' above.
+def _old_gym_api(mod) -> bool:                           # pragma: no cover
+    try:
+        major, minor = str(getattr(mod, "__version__", "999")).split(".")[:2]
+        return (int(major), int(minor)) < (0, 26)
+    except (ValueError, TypeError):
+        return False
+
+
 try:                                                     # pragma: no cover
     import gym as _legacy_gym
-    _HAS_LEGACY_GYM = True
+    _HAS_LEGACY_GYM = _old_gym_api(_legacy_gym)
 except ImportError:
     _legacy_gym = None
     _HAS_LEGACY_GYM = False
@@ -220,8 +232,7 @@ except ImportError:
 if _HAS_LEGACY_GYM:                                      # pragma: no cover
 
     class LegacyGymACAS2DEnv(LegacyACAS2DEnv, _legacy_gym.Env):
-        """LegacyACAS2DEnv as a registered old-gym Env.  reset() tolerates
-        the seed/options kwargs newer gym releases (>=0.26) pass through."""
+        """LegacyACAS2DEnv as a registered old-gym (< 0.26) Env."""
         metadata = {"render.modes": []}
 
         def reset(self, seed=None, options=None, **kwargs):

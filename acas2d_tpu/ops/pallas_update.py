@@ -220,6 +220,16 @@ def supported(minibatch_size: int) -> bool:
     return minibatch_size % 128 == 0
 
 
+def normalize_adv_column(mb_data: jax.Array) -> jax.Array:
+    """SB3's per-minibatch advantage normalization applied to the packed
+    (N, 13) matrix's advantage column — the ONE definition of the formula
+    for the packed layout (learner.ppo_loss holds the unpacked-field
+    equivalent; the two must stay in lockstep)."""
+    adv = mb_data[:, _ADV]
+    adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+    return mb_data.at[:, _ADV].set(adv)
+
+
 def ppo_minibatch_grads(params, mb_data: jax.Array, *, clip_range: float,
                         vf_coef: float, ent_coef: float,
                         normalize_advantage: bool = True,
@@ -242,9 +252,7 @@ def ppo_minibatch_grads(params, mb_data: jax.Array, *, clip_range: float,
     f32 = jnp.float32
 
     if normalize_advantage:
-        advn = mb_data[:, _ADV]
-        advn = (advn - advn.mean()) / (advn.std() + 1e-8)
-        mb_data = mb_data.at[:, _ADV].set(advn)
+        mb_data = normalize_adv_column(mb_data)
     dataT = mb_data.astype(f32).T               # (13, n): one cheap transpose
 
     weights = _pack_update_params(params)

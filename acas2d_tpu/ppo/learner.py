@@ -88,6 +88,19 @@ def init_train_state(key: jax.Array, model: ActorCritic, cfg: PPOConfig,
                       iteration=jnp.asarray(0, jnp.int32))
 
 
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """Version shim: `jax.shard_map` (jax >= 0.4.35) vs the experimental
+    module.  The pallas_call outputs inside `fn` carry no vma/rep
+    annotation, so the varying-across-mesh check is disabled either way."""
+    try:
+        from jax import shard_map as smap
+        kw = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as smap
+        kw = {"check_rep": False}
+    return smap(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
+
+
 # ---------------------------------------------------------------- rollout
 
 def collect_rollout(model: ActorCritic, state: TrainState, cfg: PPOConfig,
@@ -171,12 +184,6 @@ def collect_rollout_fused(model: ActorCritic, state: TrainState,
         return st, buf
 
     if mesh is not None:
-        try:
-            from jax import shard_map                      # jax >= 0.4.35
-            _smap_kw = {"check_vma": False}
-        except ImportError:
-            from jax.experimental.shard_map import shard_map
-            _smap_kw = {"check_rep": False}
         from jax.sharding import PartitionSpec as PS
         axis = mesh.axis_names[0]
 
@@ -194,15 +201,12 @@ def collect_rollout_fused(model: ActorCritic, state: TrainState,
                     ("actions", "log_probs", "values", "rewards", "dones",
                      "episode_return", "episode_steps", "outcome")}
         buf_spec["obs"] = PS(None, axis, None)
-        launch_fn = shard_map(
-            sharded_launch, mesh=mesh,
+        launch_fn = _shard_map(
+            sharded_launch, mesh,
             in_specs=(flat_spec, PS(axis, None),
                       jax.tree.map(lambda _: PS(), state.params),
                       PS(), PS()),
-            out_specs=(state_out_spec, buf_spec),
-            # the pallas_call's ShapeDtypeStruct outputs carry no vma/rep
-            # annotation; skip the varying-across-mesh check
-            **_smap_kw)
+            out_specs=(state_out_spec, buf_spec))
     else:
         launch_fn = launch
 
@@ -329,12 +333,6 @@ def make_fused_grads_fn(cfg: PPOConfig, mesh=None) -> Callable:
             pallas_update.ppo_minibatch_grads,
             normalize_advantage=cfg.normalize_advantage, **kernel_kw)
 
-    try:
-        from jax import shard_map                      # jax >= 0.4.35
-        _smap_kw = {"check_vma": False}
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
-        _smap_kw = {"check_rep": False}
     from jax.sharding import PartitionSpec as PS
     axis = mesh.axis_names[0]
 
@@ -344,15 +342,16 @@ def make_fused_grads_fn(cfg: PPOConfig, mesh=None) -> Callable:
         # equal shard sizes: the global mean is the mean of shard means
         return jax.lax.pmean(grads, axis), jax.lax.pmean(aux, axis)
 
-    smapped = shard_map(local_grads, mesh=mesh,
-                        in_specs=(PS(), PS(axis)),
-                        out_specs=(PS(), PS()), **_smap_kw)
+    smapped = _shard_map(local_grads, mesh,
+                         in_specs=(PS(), PS(axis)),
+                         out_specs=(PS(), PS()))
 
     def fused_grads(params, mb):
         if cfg.normalize_advantage:
-            adv = mb[:, pallas_update._ADV]
-            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
-            mb = mb.at[:, pallas_update._ADV].set(adv)
+            # SB3's per-minibatch normalization needs FULL-minibatch
+            # statistics, so it runs before the shard_map (shared helper:
+            # same formula as the kernel's own path and learner.ppo_loss)
+            mb = pallas_update.normalize_adv_column(mb)
         return smapped(params, mb)
 
     return fused_grads
@@ -361,7 +360,7 @@ def make_fused_grads_fn(cfg: PPOConfig, mesh=None) -> Callable:
 def ppo_update(model: ActorCritic, tx: optax.GradientTransformation,
                params, opt_state, batch: RolloutBatch,
                advantages: jax.Array, returns: jax.Array, key: jax.Array,
-               cfg: PPOConfig, mesh=None):
+               cfg: PPOConfig, mesh=None, fused_grads=None):
     """n_epochs x n_minibatches of clipped-PPO Adam steps (SB3 PPO.train).
 
     The six minibatch fields are folded into one (N, D) matrix so each
@@ -393,7 +392,7 @@ def ppo_update(model: ActorCritic, tx: optax.GradientTransformation,
         # round-tripping them through HBM (see PPOConfig.update_remat)
         loss_fn = jax.checkpoint(loss_fn)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-    if cfg.fused_update:
+    if cfg.fused_update and fused_grads is None:
         fused_grads = make_fused_grads_fn(cfg, mesh)
 
     def epoch_body(carry, k_epoch):
@@ -434,8 +433,8 @@ def make_train_step(model: ActorCritic, cfg: PPOConfig,
     kernels need an explicit shard_map); the XLA paths shard transparently
     through jit."""
     tx = make_optimizer(cfg)
-    if cfg.fused_update:
-        make_fused_grads_fn(cfg, mesh)   # fail fast at build, not first call
+    # built once here (also fails fast at build time, not first call)
+    fused_grads = make_fused_grads_fn(cfg, mesh) if cfg.fused_update else None
     if cfg.fused_rollout:
         rollout_fn = functools.partial(collect_rollout_fused, mesh=mesh)
     else:
@@ -450,7 +449,8 @@ def make_train_step(model: ActorCritic, cfg: PPOConfig,
         key, k_update = jax.random.split(state.key)
         params, opt_state, opt_metrics = ppo_update(
             model, tx, state.params, state.opt_state, batch,
-            advantages, returns, k_update, cfg, mesh=mesh)
+            advantages, returns, k_update, cfg, mesh=mesh,
+            fused_grads=fused_grads)
         explained_var = 1.0 - (jnp.var(returns - batch.values)
                                / (jnp.var(returns) + 1e-8))
         state = state.replace(params=params, opt_state=opt_state, key=key)
@@ -537,7 +537,8 @@ def make_eval_fn(model: ActorCritic, cfg: PPOConfig, env_params: EnvParams,
 
 
 def make_exact_eval_fn(model: ActorCritic, cfg: PPOConfig,
-                       env_params: EnvParams, dtype=jnp.float32) -> Callable:
+                       env_params: EnvParams, dtype=jnp.float32,
+                       skip_episodes: int = 0) -> Callable:
     """Greedy evaluation whose episodes spawn from a CONTINUING host
     Mersenne stream (oracle.MersenneSpawner + core.reset_from): the
     reference EvalCallback's episode protocol — n_eval_episodes sequential
@@ -551,11 +552,15 @@ def make_exact_eval_fn(model: ActorCritic, cfg: PPOConfig,
     The returned callable is stateful host-side — the stream advances on
     every call — and accepts/ignores a `key` argument for interface parity
     with make_eval_fn.  The episodes run batched on device; only the ~10
-    spawns per eval are host-side."""
+    spawns per eval are host-side.  `skip_episodes` fast-forwards the
+    stream past episodes consumed by a previous process (a resumed run
+    passes evals-already-done * eval_episodes so the continuing-stream
+    guarantee survives restarts — train.py computes it)."""
     from acas2d_tpu.oracle import MersenneSpawner
 
     n_ep = cfg.eval_episodes
-    spawner = MersenneSpawner(env_params, seed=cfg.seed)
+    spawner = MersenneSpawner(env_params, seed=cfg.seed,
+                              skip_episodes=skip_episodes)
 
     @jax.jit
     def run(params, psi, tx, ty, tv, tpsi, nt):

@@ -262,7 +262,12 @@ def main() -> int:
     if obs_err > 2e-2:
         failures.append(f"policy kernel obs recompute err {obs_err:.2e}")
 
+    import time
     print(json.dumps({"ok": not failures, "failures": failures,
+                      "hardware": f"{jax.devices()[0].device_kind} "
+                                  f"({jax.device_count()} chip, tunneled)",
+                      "date": time.strftime("%Y-%m-%d"),
+                      "command": "python scripts/pallas_tpu_check.py",
                       "deterministic": det, "statistical": stat,
                       "update_grads": upd, "policy_kernel": pol}))
     return 1 if failures else 0

@@ -116,12 +116,17 @@ def test_legacy_env_spaces_without_gymnasium(monkeypatch):
 
 
 def test_legacy_gym_registration():
-    """When the old `gym` package is importable, importing gym_compat
-    registers the reference's exact surface (gym_ACAS2D/__init__.py:3-6):
-    gym.make("ACAS2D-v0") -> 4-tuple env.  Skipped when gym is absent
-    (it is not a dependency; docs/MIGRATION.md §7 documents both paths)."""
+    """When a 4-tuple-era `gym` (< 0.26) is importable, importing
+    gym_compat registers the reference's exact surface
+    (gym_ACAS2D/__init__.py:3-6): gym.make("ACAS2D-v0") -> 4-tuple env.
+    Skipped when gym is absent or >= 0.26 (the 5-tuple-API releases wrap
+    envs in checkers that reject the legacy surface; those users get the
+    gymnasium registration instead — docs/MIGRATION.md §7)."""
     gym = pytest.importorskip("gym")
-    import acas2d_tpu.envs.gym_compat  # noqa: F401  (registration side effect)
+    from acas2d_tpu.envs import gym_compat
+    if not gym_compat._old_gym_api(gym):
+        pytest.skip(f"gym {gym.__version__} uses the 5-tuple API; "
+                    "legacy registration intentionally skipped")
 
     env = gym.make("ACAS2D-v0")
     obs = env.reset()

@@ -198,11 +198,14 @@ def main(argv=None):
     logger = MetricsLogger(f"{args.out_dir}/{run_name}", "train")
     eval_logger = MetricsLogger(f"{args.out_dir}/{run_name}", "eval")
     if args.iters_per_call is None:
-        # preset-tpu accelerator runs default to fused dispatch; evals and
-        # checkpoints then trigger at most once per call, which at the tpu
-        # preset's cadence changes nothing (eval_every >= 4 iterations)
-        args.iters_per_call = (16 if args.preset == "tpu"
-                               and jax.default_backend() != "cpu" else 1)
+        # preset-tpu accelerator runs default to fused dispatch, capped so
+        # it never COARSENS the eval cadence (evals/checkpoints trigger at
+        # most once per call): K <= eval_every / steps-per-iteration
+        if args.preset == "tpu" and jax.default_backend() != "cpu":
+            args.iters_per_call = max(
+                1, min(16, cfg.eval_every_steps // cfg.batch_size))
+        else:
+            args.iters_per_call = 1
     iters_per_call = max(1, args.iters_per_call)
     if iters_per_call > 1:
         # K PPO iterations fused into ONE device program (lax.scan over
@@ -219,8 +222,16 @@ def main(argv=None):
                            donate_argnums=(0,))
     if args.exact_eval:
         # stateful host-side (the Mersenne stream advances per call); jits
-        # its own device program internally
-        eval_fn = learner.make_exact_eval_fn(model, cfg, env_params, dtype)
+        # its own device program internally.  On resume, fast-forward the
+        # stream past the episodes the previous process consumed: eval
+        # thresholds 0, E, 2E, ... fire once each, so a run restored at
+        # step S has performed S // E + 1 evals (the threshold-0 eval
+        # fires on the first iteration).
+        _s = gstep_of(state)
+        _prior_evals = _s // cfg.eval_every_steps + 1 if _s > 0 else 0
+        eval_fn = learner.make_exact_eval_fn(
+            model, cfg, env_params, dtype,
+            skip_episodes=_prior_evals * cfg.eval_episodes)
     else:
         eval_fn = jax.jit(learner.make_eval_fn(model, cfg, env_params, dtype))
 
