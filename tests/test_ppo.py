@@ -138,6 +138,12 @@ def test_exact_eval_fn_mersenne_protocol():
     assert float(m1b["eval_return_mean"]) == float(m1["eval_return_mean"])
     assert float(m2["eval_return_mean"]) != float(m1["eval_return_mean"])
 
+    # resume fast-forward: a fresh fn skipping one eval's worth of
+    # episodes reproduces the SECOND call of the continuing stream
+    m2b = jax.device_get(learner.make_exact_eval_fn(
+        model, cfg, P, skip_episodes=cfg.eval_episodes)(st.params))
+    assert float(m2b["eval_return_mean"]) == float(m2["eval_return_mean"])
+
 
 def test_sharded_train_step_on_8_device_mesh():
     """BASELINE.json configs 4-5 in miniature: env batch sharded over an
