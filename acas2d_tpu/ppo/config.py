@@ -64,10 +64,12 @@ class PPOConfig:
     # (64,64)/obs-8 architecture.
     fused_update: bool = False
     # Feed the fused update's MXU matmuls bf16 operands (f32 accumulate).
-    # The f32 kernel is MXU-pass-bound; bf16 runs ~4x faster.  Gradient
-    # rounding grows to ~1e-2 relative — far below PPO's gradient noise
-    # (learning-curve parity pinned statistically), but outside the
-    # grads-match-jax.grad bit-compat contract, hence opt-in.
+    # Gradient rounding grows to ~1e-2 relative — far below PPO's gradient
+    # noise (tests/test_pallas_update.py::test_bf16_grads_track_f32 pins
+    # the grads against the f32 kernel), but outside the
+    # grads-match-jax.grad bit-compat contract, hence opt-in.  Measured
+    # v5e: saves only ~18us of the 167us grad step — the kernel is
+    # VPU-elementwise-bound, not MXU-bound (docs/PERFORMANCE.md).
     fused_update_bf16: bool = False
     # Columns per kernel grid step.  The grid is sequential with ~4-5us
     # fixed cost per step (measured v5e), which dominates the 167us f32
