@@ -15,3 +15,10 @@ for s in 0 1 2 3; do
     > runs/parity/env8_s$s.log 2>&1
   tail -2 runs/parity/env8_s$s.log
 done
+# Mersenne-protocol eval curve (round 3, artifacts/ppo_exact_eval_ref_s12_*):
+# the config of record evaluated with --exact-eval, so the logged curve is
+# protocol-identical to the reference's evaluations.npz.
+timeout 900 python train.py --platform cpu --seed 12 --exact-eval \
+  --run-name exact_eval_ref_s12 --out-dir runs/parity \
+  > runs/parity/exact_eval_ref_s12.log 2>&1
+tail -2 runs/parity/exact_eval_ref_s12.log
