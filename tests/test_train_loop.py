@@ -94,3 +94,19 @@ def test_checkpoint_cadence_decoupled_from_eval(tmp_path):
     assert steps == [256, 512, 768, 1024], steps
     # best/ exists too: the final eval fired and best-tracking rode it.
     assert os.path.isdir(os.path.join(ckpt_dir, "best"))
+
+
+def test_resolve_iters_per_call_never_coarsens_eval_cadence():
+    """The auto default must satisfy K * batch <= eval_every (evals fire at
+    most once per train_fn call), for every preset shape."""
+    from train import resolve_iters_per_call
+    from acas2d_tpu.ppo.config import PPOConfig, tpu_default
+
+    cfg = tpu_default()                        # eval_every = 4 iterations
+    k = resolve_iters_per_call(None, "tpu", "tpu", cfg)
+    assert 1 <= k and k * cfg.batch_size <= cfg.eval_every_steps
+
+    # explicit request always wins; CPU / reference preset default to 1
+    assert resolve_iters_per_call(32, "tpu", "tpu", cfg) == 32
+    assert resolve_iters_per_call(None, "tpu", "cpu", cfg) == 1
+    assert resolve_iters_per_call(None, "reference", "tpu", PPOConfig()) == 1

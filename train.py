@@ -106,6 +106,18 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def resolve_iters_per_call(requested, preset: str, backend: str,
+                           cfg: PPOConfig) -> int:
+    """Default --iters-per-call: fused dispatch for preset-tpu accelerator
+    runs, CAPPED at eval_every / steps-per-iteration so it never coarsens
+    the eval/checkpoint cadence (evals trigger at most once per call)."""
+    if requested is not None:
+        return max(1, requested)
+    if preset == "tpu" and backend != "cpu":
+        return max(1, min(16, cfg.eval_every_steps // cfg.batch_size))
+    return 1
+
+
 def build_config(args) -> PPOConfig:
     cfg = tpu_default() if args.preset == "tpu" else PPOConfig()
     overrides = {}
@@ -197,16 +209,8 @@ def main(argv=None):
 
     logger = MetricsLogger(f"{args.out_dir}/{run_name}", "train")
     eval_logger = MetricsLogger(f"{args.out_dir}/{run_name}", "eval")
-    if args.iters_per_call is None:
-        # preset-tpu accelerator runs default to fused dispatch, capped so
-        # it never COARSENS the eval cadence (evals/checkpoints trigger at
-        # most once per call): K <= eval_every / steps-per-iteration
-        if args.preset == "tpu" and jax.default_backend() != "cpu":
-            args.iters_per_call = max(
-                1, min(16, cfg.eval_every_steps // cfg.batch_size))
-        else:
-            args.iters_per_call = 1
-    iters_per_call = max(1, args.iters_per_call)
+    iters_per_call = resolve_iters_per_call(
+        args.iters_per_call, args.preset, jax.default_backend(), cfg)
     if iters_per_call > 1:
         # K PPO iterations fused into ONE device program (lax.scan over
         # train_step): one host dispatch + one metrics read-back per K
