@@ -240,9 +240,12 @@ if _HAS_LEGACY_GYM:                                      # pragma: no cover
                 self.seed(seed)
             return super().reset()
 
-    try:
+    # old-gym registries keep specs in `env_specs`; only a re-register is
+    # expected and tolerable here, so check membership explicitly and let
+    # real failures (entry-point typos, gym internals drift) surface at
+    # import time instead of being swallowed.
+    _specs = getattr(_legacy_gym.envs.registry, "env_specs", {})
+    if "ACAS2D-v0" not in _specs:
         _legacy_gym.register(
             id="ACAS2D-v0",
             entry_point="acas2d_tpu.envs.gym_compat:LegacyGymACAS2DEnv")
-    except Exception:                                    # already registered
-        pass

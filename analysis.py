@@ -26,8 +26,10 @@ import sys
 
 import numpy as np
 
-REF_EVALS = ("/root/reference/gym_ACAS2D/models/best_model_1048576_11/"
-             "results/evaluations.npz")
+from acas2d_tpu.utils.reference import reference_path
+
+REF_EVALS = reference_path("gym_ACAS2D", "models", "best_model_1048576_11",
+                           "results", "evaluations.npz")
 
 
 def outcome_summary(df) -> dict:

@@ -15,7 +15,10 @@ from acas2d_tpu.config import DEFAULT_PARAMS
 from acas2d_tpu.oracle import MersenneSpawner, OracleEnv
 
 P = DEFAULT_PARAMS
-REF_CSV = "/root/reference/gym_ACAS2D/models/logs/baseline_ACAS2D_PPO_11_100.csv"
+from acas2d_tpu.utils.reference import reference_path
+
+REF_CSV = reference_path("gym_ACAS2D", "models", "logs",
+                         "baseline_ACAS2D_PPO_11_100.csv")
 
 
 def test_baseline_driver_reproduces_reference_csv(tmp_path):

@@ -21,7 +21,10 @@ import pytest
 from acas2d_tpu.config import DEFAULT_PARAMS, OUTCOME_NAMES
 from acas2d_tpu.oracle import MersenneSpawner, OracleEnv
 
-CSV = "/root/reference/gym_ACAS2D/models/logs/baseline_ACAS2D_PPO_11_100.csv"
+from acas2d_tpu.utils.reference import reference_path
+
+CSV = reference_path("gym_ACAS2D", "models", "logs",
+                     "baseline_ACAS2D_PPO_11_100.csv")
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(CSV), reason="reference golden CSV not available")

@@ -21,8 +21,10 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ART = os.path.join(REPO, "artifacts")
-REF_NPZ = ("/root/reference/gym_ACAS2D/models/best_model_1048576_11/"
-           "results/evaluations.npz")
+from acas2d_tpu.utils.reference import reference_path
+
+REF_NPZ = reference_path("gym_ACAS2D", "models", "best_model_1048576_11",
+                         "results", "evaluations.npz")
 
 REF_FINAL = 1198.22   # reference final eval mean (SURVEY.md §6)
 REF_BEST = 1226.55

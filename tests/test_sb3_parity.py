@@ -22,8 +22,10 @@ from acas2d_tpu.envs import core, vector
 from acas2d_tpu.models.actor_critic import ActorCritic
 from acas2d_tpu.oracle import MersenneSpawner
 
-BEST = ("/root/reference/gym_ACAS2D/models/best_model_1048576_11/"
-        "best_model.zip")
+from acas2d_tpu.utils.reference import reference_path
+
+BEST = reference_path("gym_ACAS2D", "models", "best_model_1048576_11",
+                      "best_model.zip")
 
 pytestmark = pytest.mark.skipif(not os.path.exists(BEST),
                                 reason="reference checkpoint unavailable")

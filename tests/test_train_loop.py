@@ -96,6 +96,29 @@ def test_checkpoint_cadence_decoupled_from_eval(tmp_path):
     assert os.path.isdir(os.path.join(ckpt_dir, "best"))
 
 
+def test_count_prior_evals_from_persisted_log(tmp_path):
+    """--exact-eval resume fast-forward counts the evals that ACTUALLY fired
+    (eval.jsonl rows at or before the restored step), not the threshold
+    formula — one device call spanning several eval thresholds produces one
+    row, and rows past the restored checkpoint re-fire after resume."""
+    import json
+    from train import count_prior_evals
+
+    cfg = _tiny_cfg(eval_every_steps=256)      # batch = 128
+    run = tmp_path / "run"
+    run.mkdir()
+    # a K*batch=512 call fired ONE eval covering thresholds 256+512, then
+    # another at 1024; a row at 1536 was logged after the restored ckpt.
+    with open(run / "eval.jsonl", "w") as f:
+        for s in (0, 512, 1024, 1536):
+            f.write(json.dumps({"global_step": s}) + "\n")
+    assert count_prior_evals(str(run), 1024, cfg) == 3
+    assert count_prior_evals(str(run), 1536, cfg) == 4
+    assert count_prior_evals(str(run), 0, cfg) == 0
+    # no surviving log: cadence-formula fallback (thresholds fire once each)
+    assert count_prior_evals(str(tmp_path / "gone"), 1024, cfg) == 5
+
+
 def test_resolve_iters_per_call_never_coarsens_eval_cadence():
     """The auto default must satisfy K * batch <= eval_every (evals fire at
     most once per train_fn call), for every preset shape."""

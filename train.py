@@ -17,6 +17,8 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import json
+import os
 import sys
 import time
 
@@ -71,7 +73,10 @@ def parse_args(argv=None):
     p.add_argument("--out-dir", default="runs/ppo")
     p.add_argument("--run-name", default=None)
     p.add_argument("--checkpoint-every", type=int, default=32768,
-                   help="global steps between checkpoints (reference: 32768)")
+                   help="global steps between checkpoints (reference: "
+                        "32768). Effective cadence is at least the steps "
+                        "per device call (iters_per_call * batch_size): "
+                        "checkpoints fire between calls only")
     p.add_argument("--eval-every", type=int, default=None)
     p.add_argument("--exact-eval", action="store_true",
                    help="evaluate via the reference's Mersenne-stream "
@@ -92,8 +97,13 @@ def parse_args(argv=None):
                         "training-throughput lever on a remote/tunneled "
                         "accelerator (21.5M -> 45.5M env-steps/s, "
                         "docs/PERFORMANCE.md). Metrics are still logged "
-                        "per iteration. Default: 16 for --preset tpu on "
-                        "an accelerator, else 1")
+                        "per iteration. Default: for --preset tpu on an "
+                        "accelerator, eval_every // batch_size capped at 16 "
+                        "(evals fire at most once per call); else 1. NOTE: "
+                        "evals and checkpoints only fire between device "
+                        "calls, so K > 1 coarsens the effective checkpoint "
+                        "cadence to K*batch_size steps (a few ms of lost "
+                        "work at TPU throughput)")
     p.add_argument("--profile", action="store_true",
                    help="write a jax.profiler (TensorBoard/xprof) trace of "
                         "iterations 2-4 to <run>/trace and report per-phase "
@@ -116,6 +126,38 @@ def resolve_iters_per_call(requested, preset: str, backend: str,
     if preset == "tpu" and backend != "cpu":
         return max(1, min(16, cfg.eval_every_steps // cfg.batch_size))
     return 1
+
+
+def count_prior_evals(run_dir: str, restored_step: int,
+                      cfg: PPOConfig) -> int:
+    """Evals a previous process performed up to `restored_step`, for the
+    --exact-eval resume fast-forward (the Mersenne eval stream must skip
+    exactly the episodes already consumed).
+
+    Counted from the persisted eval log (eval.jsonl rows with
+    global_step <= restored_step) — the thresholds that *actually fired* —
+    because the threshold-count formula undercounts when one device call
+    spans several eval thresholds (an explicit --iters-per-call with
+    K*batch > eval_every makes one eval consume multiple thresholds).
+    Rows logged past the restored checkpoint re-fire after resume and are
+    excluded.  Falls back to the cadence formula when no log survives."""
+    if restored_step <= 0:
+        return 0
+    path = os.path.join(run_dir, "eval.jsonl")
+    if os.path.exists(path):
+        n = 0
+        with open(path) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    continue
+                if int(row.get("global_step", 0)) <= restored_step:
+                    n += 1
+        return n
+    # no surviving log: thresholds 0, E, 2E, ... fire once each and the
+    # threshold-0 eval fires on the first iteration
+    return restored_step // cfg.eval_every_steps + 1
 
 
 def build_config(args) -> PPOConfig:
@@ -227,12 +269,10 @@ def main(argv=None):
     if args.exact_eval:
         # stateful host-side (the Mersenne stream advances per call); jits
         # its own device program internally.  On resume, fast-forward the
-        # stream past the episodes the previous process consumed: eval
-        # thresholds 0, E, 2E, ... fire once each, so a run restored at
-        # step S has performed S // E + 1 evals (the threshold-0 eval
-        # fires on the first iteration).
-        _s = gstep_of(state)
-        _prior_evals = _s // cfg.eval_every_steps + 1 if _s > 0 else 0
+        # stream past the episodes the previous process consumed (counted
+        # from the persisted eval log — see count_prior_evals).
+        _prior_evals = count_prior_evals(
+            f"{args.out_dir}/{run_name}", gstep_of(state), cfg)
         eval_fn = learner.make_exact_eval_fn(
             model, cfg, env_params, dtype,
             skip_episodes=_prior_evals * cfg.eval_episodes)
