@@ -1,0 +1,219 @@
+"""On-device population training: P independent PPO runs in one program.
+
+The committed sweeps show ACAS-2D PPO at the flagship shape is a seed
+lottery — roughly 1 in 3 seeds reaches a >=1200 final policy
+(artifacts/parity_sweep_summary.json; the reference itself committed one
+lucky seed, SURVEY.md §6).  The policy is a ~5k-param MLP, so the TPU can
+brute-force the lottery: `vmap` the entire train_step over a population
+axis of P member policies — P independent rollouts, GAE, and Adam updates
+per device program — and select the best member by its greedy-eval record.
+One command then reliably produces a reference-beating policy instead of
+1-in-3 restarts.
+
+Member i is initialized exactly like a solo run with seed (master_seed + i)
+(same `init_train_state` key derivation), so any member's trajectory is
+reproducible stand-alone.
+
+XLA-path only: the fused Pallas rollout/update kernels are shard_mapped
+per-device programs and do not compose with the population vmap; at
+population batch sizes the XLA paths tile the MXU fully anyway.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from acas2d_tpu.config import EnvParams
+from acas2d_tpu.models.actor_critic import ActorCritic
+from acas2d_tpu.ppo import learner
+from acas2d_tpu.ppo.config import PPOConfig
+
+
+def init_population(model: ActorCritic, cfg: PPOConfig,
+                    env_params: EnvParams, pop: int,
+                    dtype=jnp.float32) -> learner.TrainState:
+    """TrainState with a leading (pop,) axis on every leaf; member i's
+    leaves equal a solo `init_train_state(PRNGKey(cfg.seed + i), ...)`."""
+    assert not (cfg.fused_rollout or cfg.fused_update), (
+        "population training uses the XLA paths (the Pallas kernels are "
+        "per-device shard_map programs and do not compose with the "
+        "population vmap)")
+    keys = jnp.stack([jax.random.PRNGKey(cfg.seed + i) for i in range(pop)])
+
+    obs_dim = env_params.obs_dim
+    tx = learner.make_optimizer(cfg)
+
+    def one(key):
+        from acas2d_tpu.envs import vector
+        k_model, k_env, k_carry = jax.random.split(key, 3)
+        params = model.init(k_model, jnp.zeros((1, obs_dim), dtype))
+        opt_state = tx.init(params)
+        env_state, obs = vector.reset_batch(k_env, cfg.n_envs, env_params,
+                                            dtype)
+        return learner.TrainState(
+            params=params, opt_state=opt_state, env_state=env_state,
+            obs=obs, key=k_carry, iteration=jnp.asarray(0, jnp.int32))
+
+    return jax.jit(jax.vmap(one))(keys)
+
+
+def make_population_step(model: ActorCritic, cfg: PPOConfig,
+                         env_params: EnvParams) -> Callable:
+    """vmap of the full PPO train_step over the population axis:
+    (TrainState[P]) -> (TrainState[P], metrics[P])."""
+    return jax.vmap(learner.make_train_step(model, cfg, env_params))
+
+
+def make_population_loop(model: ActorCritic, cfg: PPOConfig,
+                         env_params: EnvParams,
+                         iters_per_call: int) -> Callable:
+    """K iterations of the vmapped step fused into one device program;
+    metrics leaves come back (K, P, ...)."""
+    step = make_population_step(model, cfg, env_params)
+
+    def loop(state):
+        return jax.lax.scan(lambda s, _: step(s), state, None,
+                            length=iters_per_call)
+
+    return loop
+
+
+def make_population_eval(model: ActorCritic, cfg: PPOConfig,
+                         env_params: EnvParams, dtype=jnp.float32
+                         ) -> Callable:
+    """Greedy eval of every member: (params[P], key) -> metrics[P].
+    Each member evaluates on its own fresh episode draws (fold_in of the
+    member index), mirroring P independent EvalCallback streams."""
+    eval_one = learner.make_eval_fn(model, cfg, env_params, dtype)
+
+    def eval_all(params, key):
+        pop = jax.tree.leaves(params)[0].shape[0]
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(pop))
+        return jax.vmap(eval_one)(params, keys)
+
+    return eval_all
+
+
+def member_params(params, i: int):
+    """Slice member i's parameter tree (host- or device-side)."""
+    return jax.tree.map(lambda x: x[i], params)
+
+
+def population_throughput_steps(cfg: PPOConfig, pop: int) -> int:
+    """Env-steps advanced per population iteration (all members)."""
+    return pop * cfg.batch_size
+
+
+class PopulationTracker:
+    """Host-side per-member best-eval tracking + end-of-run selection.
+
+    The EvalCallback-equivalent for a population: each member's best greedy
+    eval (value, step, params snapshot) is tracked across the run and
+    persisted to `<run>/population_best.npz` at every improvement, so a
+    killed run resumes without losing its lottery winners.  `finalize`
+    selects the best member, writes its params as a portable npz
+    (`selected_best.npz`) and a `population.json` summary.
+    """
+
+    def __init__(self, run_dir: str, pop: int, seed: int):
+        import os
+        import numpy as np
+        self.run_dir = run_dir
+        self.pop = pop
+        self.seed = seed
+        self.best_vals = np.full(pop, -np.inf)
+        self.best_steps = np.zeros(pop, dtype=np.int64)
+        self.best_params = None       # stacked host tree, (pop,) leading
+        self.final_vals = np.full(pop, np.nan)
+        self._path = os.path.join(run_dir, "population_best.npz")
+        if os.path.exists(self._path):
+            self._load()
+
+    # -- persistence ------------------------------------------------------
+    def _load(self):
+        import numpy as np
+        from acas2d_tpu.utils.params_io import load_params_npz
+        d = np.load(self._path)
+        vals, steps = d["__best_vals__"], d["__best_steps__"]
+        if len(vals) != self.pop:
+            return                     # population size changed; start over
+        self.best_vals = vals.copy()
+        self.best_steps = steps.copy()
+        tree = load_params_npz(self._path)
+        tree.pop("__best_vals__", None)
+        tree.pop("__best_steps__", None)
+        self.best_params = tree
+
+    def _save(self):
+        import numpy as np
+        from acas2d_tpu.utils.params_io import _flatten
+        flat = _flatten(self.best_params)
+        np.savez(self._path, __best_vals__=self.best_vals,
+                 __best_steps__=self.best_steps, **flat)
+
+    # -- updates ----------------------------------------------------------
+    def update(self, gstep: int, eval_vals, params_host) -> int:
+        """Record one population eval: `eval_vals` (pop,) member returns,
+        `params_host` the stacked host-side params tree at that step.
+        Returns the number of members that improved."""
+        import numpy as np
+        eval_vals = np.asarray(eval_vals)
+        self.final_vals = eval_vals.copy()
+        improved = np.flatnonzero(eval_vals > self.best_vals)
+        if improved.size == 0:
+            return 0
+        if self.best_params is None:
+            self.best_params = jax.tree.map(np.array, params_host)
+        else:
+            for i in improved:
+                self.best_params = jax.tree.map(
+                    lambda b, n, i=int(i): _set_row(b, n, i),
+                    self.best_params, params_host)
+        self.best_vals[improved] = eval_vals[improved]
+        self.best_steps[improved] = gstep
+        self._save()
+        return int(improved.size)
+
+    # -- selection --------------------------------------------------------
+    @property
+    def selected(self) -> int:
+        import numpy as np
+        return int(np.argmax(self.best_vals))
+
+    def finalize(self) -> dict:
+        """Write selected_best.npz + population.json; returns the summary."""
+        import json
+        import os
+        import numpy as np
+        from acas2d_tpu.utils.params_io import save_params_npz
+        i = self.selected
+        summary = {
+            "population": self.pop,
+            "master_seed": self.seed,
+            "member_seeds": [self.seed + j for j in range(self.pop)],
+            "selected_member": i,
+            "selected_seed": self.seed + i,
+            "selected_best_eval": float(self.best_vals[i]),
+            "selected_best_at_step": int(self.best_steps[i]),
+            "best_evals": [round(float(v), 2) for v in self.best_vals],
+            "best_at_steps": [int(s) for s in self.best_steps],
+            "final_evals": [round(float(v), 2) for v in self.final_vals],
+            "members_over_1200": int((self.best_vals >= 1200.0).sum()),
+        }
+        if self.best_params is not None:
+            save_params_npz(os.path.join(self.run_dir, "selected_best.npz"),
+                            member_params(self.best_params, i))
+        with open(os.path.join(self.run_dir, "population.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        return summary
+
+
+def _set_row(best_leaf, new_leaf, i: int):
+    import numpy as np
+    out = np.array(best_leaf)
+    out[i] = np.asarray(new_leaf)[i]
+    return out

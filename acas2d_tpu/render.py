@@ -23,6 +23,51 @@ RED = (1.0, 0.0, 0.0)
 YELLOW = (1.0, 1.0, 0.0)
 GREEN = (0.0, 1.0, 0.0)
 
+# Sprite assets (settings.py:51-54): the reference blits the player/
+# traffic/goal PNGs axis-aligned at (x - AIRCRAFT_SIZE/2, y - SIZE/2)
+# with NO rotation (game.py:17-19 loads them once, game.py:327-338 blits
+# raw; the compass is only the window icon, game.py:15).  When the
+# reference checkout (or any directory with the same png/ layout) is
+# available the replays composite the same sprites; geometric markers
+# remain the fallback so rendering never depends on the assets.
+_SPRITE_FILES = {"player": "001-plane.png", "traffic": "002-travelling.png",
+                 "goal": "003-army.png"}
+_sprite_cache: Optional[dict] = None
+
+
+def load_sprites(refresh: bool = False) -> Optional[dict]:
+    """The reference's three scene sprites as float RGBA arrays, or None
+    when unavailable.  Looks under $ACAS2D_REFERENCE_DIR/gym_ACAS2D/png
+    (utils/reference.py).  Cached after the first successful load."""
+    global _sprite_cache
+    if _sprite_cache is not None and not refresh:
+        return _sprite_cache or None
+    from acas2d_tpu.utils.reference import reference_path
+    import matplotlib.image as mimg
+    sprites = {}
+    for key, fname in _SPRITE_FILES.items():
+        path = reference_path("gym_ACAS2D", "png", fname)
+        if not os.path.exists(path):
+            _sprite_cache = {}
+            return None
+        sprites[key] = mimg.imread(path)
+    _sprite_cache = sprites
+    return sprites
+
+
+def _blit(ax, img, x: float, y: float, size: float):
+    """Axis-aligned sprite blit centered like the reference's
+    (x - size/2, y - size/2) screen placement (game.py:327-338), on the
+    y-down world axes."""
+    half = size / 2
+    # imshow autoscales the axes to include its extent; preserve the
+    # airspace limits set by _new_axes (and any caller adjustments)
+    xlim, ylim = ax.get_xlim(), ax.get_ylim()
+    ax.imshow(img, extent=(x - half, x + half, y + half, y - half),
+              zorder=3, interpolation="bilinear")
+    ax.set_xlim(xlim)
+    ax.set_ylim(ylim)
+
 
 def _new_axes(params: EnvParams, dpi=80):
     import matplotlib
@@ -37,20 +82,34 @@ def _new_axes(params: EnvParams, dpi=80):
     return fig, ax
 
 
-def _draw_scene(ax, px, py, tx, ty, num_traffic, params: EnvParams):
+def _draw_scene(ax, px, py, tx, ty, num_traffic, params: EnvParams,
+                sprites: Optional[dict] = None):
+    """Scene composition mirroring view() (game.py:324-348): sprites (when
+    the reference assets are available) or geometric markers, plus the
+    collision/goal radius circles the reference always draws on top."""
     import matplotlib.patches as mpatches
+    if sprites is None:
+        sprites = load_sprites()
+    size = params.aircraft_size
     ax.add_patch(mpatches.Circle((params.goal_x, params.goal_y),
                                  params.goal_radius, fill=False,
                                  color=YELLOW, lw=1.5))
-    ax.plot([params.goal_x], [params.goal_y], marker="*", ms=14,
-            color=YELLOW)
+    if sprites:
+        _blit(ax, sprites["goal"], params.goal_x, params.goal_y, size)
+        _blit(ax, sprites["player"], px, py, size)
+    else:
+        ax.plot([params.goal_x], [params.goal_y], marker="*", ms=14,
+                color=YELLOW)
+        ax.plot([px], [py], marker="^", ms=8, color="white")
     ax.add_patch(mpatches.Circle((px, py), params.collision_radius,
                                  fill=False, color=RED, lw=1.0))
-    ax.plot([px], [py], marker="^", ms=8, color="white")
     for n in range(num_traffic):
         ax.add_patch(mpatches.Circle((tx[n], ty[n]), params.collision_radius,
                                      fill=False, color=RED, lw=1.0))
-        ax.plot([tx[n]], [ty[n]], marker="v", ms=8, color="black")
+        if sprites:
+            _blit(ax, sprites["traffic"], tx[n], ty[n], size)
+        else:
+            ax.plot([tx[n]], [ty[n]], marker="v", ms=8, color="black")
 
 
 def hud_quantities(px, py, psi, tx, ty, tv, tpsi, a_lat,

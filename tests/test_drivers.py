@@ -119,6 +119,32 @@ def test_render_outputs(tmp_path):
     assert frame.ndim == 3 and frame.shape[2] == 3
 
 
+def test_sprite_composition_and_fallback(monkeypatch, tmp_path):
+    """Sprite-faithful replay (game.py:324-348, settings.py:51-54): with
+    the reference png/ assets available the frame composites the three
+    sprites (pixels at the player/goal sites differ from the marker
+    fallback); without them the geometric-marker fallback still renders."""
+    pytest.importorskip("matplotlib")
+    from acas2d_tpu import render
+
+    if render.load_sprites(refresh=True) is None:
+        pytest.skip("reference sprite assets unavailable")
+    args = (200.0, 500.0, 0.0, np.array([1552.0]), np.array([48.0]), 1, P)
+    with_sprites = render.render_frame(*args)
+
+    # point the asset lookup at an empty dir: marker fallback
+    monkeypatch.setenv("ACAS2D_REFERENCE_DIR", str(tmp_path))
+    assert render.load_sprites(refresh=True) is None
+    fallback = render.render_frame(*args)
+    monkeypatch.delenv("ACAS2D_REFERENCE_DIR")
+    render.load_sprites(refresh=True)   # restore the cache for other tests
+
+    assert with_sprites.shape == fallback.shape
+    # frames differ exactly where the sprites replaced the markers
+    diff = np.abs(with_sprites.astype(int) - fallback.astype(int)).sum(-1)
+    assert (diff > 0).sum() > 100
+
+
 def test_hud_full_reference_field_set():
     """The live HUD carries every quantity the reference blits
     (game.py:350-428): 6 state lines, 7 metric lines, steps/episode, and

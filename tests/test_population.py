@@ -1,0 +1,167 @@
+"""Population training (ppo/population.py + train.py --population).
+
+The seed-lottery antidote: P member policies trained in one vmapped device
+program, best member selected by its greedy-eval record.  These tests pin
+(1) member i of the population reproduces a solo run with seed master+i,
+(2) the tracker's per-member best/selection logic + crash persistence,
+(3) the train.py driver end-to-end (selected_best.npz + population.json),
+(4) the population axis shards over the virtual 8-device mesh.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acas2d_tpu.config import DEFAULT_PARAMS
+from acas2d_tpu.models.actor_critic import ActorCritic
+from acas2d_tpu.ppo import learner, population
+from acas2d_tpu.ppo.config import PPOConfig
+
+P = DEFAULT_PARAMS
+
+
+def _tiny_cfg(**kw):
+    base = dict(n_envs=8, n_steps=16, minibatch_size=32, n_epochs=2,
+                total_timesteps=8 * 16 * 2, seed=5)
+    base.update(kw)
+    return PPOConfig(**base)
+
+
+def test_population_member_matches_solo_run():
+    """Member i's training trajectory == a solo run with seed master+i
+    (same init key derivation, same threefry streams), up to vmap
+    reduction-order noise."""
+    cfg = _tiny_cfg()
+    model = ActorCritic()
+    pop = 3
+
+    pstate = population.init_population(model, cfg, P, pop)
+    pstep = jax.jit(population.make_population_step(model, cfg, P))
+    pstate, pmetrics = pstep(pstate)
+    pstate, pmetrics = pstep(pstate)
+
+    for i in (0, 2):
+        solo_cfg = _tiny_cfg(seed=cfg.seed + i)
+        st = learner.init_train_state(
+            jax.random.PRNGKey(solo_cfg.seed), model, solo_cfg, P)
+        step = jax.jit(learner.make_train_step(model, solo_cfg, P))
+        st, _ = step(st)
+        st, m = step(st)
+        for a, b in zip(jax.tree.leaves(st.params),
+                        jax.tree.leaves(
+                            population.member_params(pstate.params, i))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(m["loss"]),
+                                   float(pmetrics["loss"][i]), rtol=1e-3)
+
+
+def test_population_eval_per_member():
+    """make_population_eval returns (P,) metrics; members with different
+    params score differently (distinct fresh episode draws + policies)."""
+    cfg = _tiny_cfg(eval_episodes=4)
+    model = ActorCritic()
+    pstate = population.init_population(model, cfg, P, 4)
+    eval_fn = jax.jit(population.make_population_eval(model, cfg, P))
+    em = jax.device_get(eval_fn(pstate.params, jax.random.PRNGKey(0)))
+    assert em["eval_return_mean"].shape == (4,)
+    assert em["eval_done_all"].all()
+    assert len(set(np.round(em["eval_return_mean"], 4))) > 1
+
+
+def test_tracker_selection_and_persistence(tmp_path):
+    """Per-member best tracking: improvements recorded member-wise, the
+    persisted npz survives a restart, selection is argmax of bests."""
+    run = str(tmp_path)
+    params = {"dense": {"kernel": np.arange(12, dtype=np.float32)
+                        .reshape(3, 4)}}
+
+    t = population.PopulationTracker(run, 3, seed=100)
+    assert t.update(10, [5.0, 1.0, 3.0], params) == 3
+    # member 1 improves; its stored row must change, others keep theirs
+    p2 = jax.tree.map(lambda x: x + 100.0, params)
+    assert t.update(20, [4.0, 2.0, 3.0], p2) == 1
+    np.testing.assert_array_equal(t.best_vals, [5.0, 2.0, 3.0])
+    np.testing.assert_array_equal(t.best_steps, [10, 20, 10])
+    np.testing.assert_array_equal(
+        t.best_params["dense"]["kernel"][1],
+        params["dense"]["kernel"][1] + 100.0)
+    np.testing.assert_array_equal(
+        t.best_params["dense"]["kernel"][0], params["dense"]["kernel"][0])
+    assert t.selected == 0
+
+    # restart: state restored from the persisted npz
+    t2 = population.PopulationTracker(run, 3, seed=100)
+    np.testing.assert_array_equal(t2.best_vals, t.best_vals)
+    np.testing.assert_array_equal(
+        t2.best_params["dense"]["kernel"], t.best_params["dense"]["kernel"])
+
+    s = t2.finalize()
+    assert s["selected_member"] == 0 and s["selected_seed"] == 100
+    assert os.path.exists(os.path.join(run, "selected_best.npz"))
+    assert os.path.exists(os.path.join(run, "population.json"))
+
+
+def test_train_population_driver(tmp_path):
+    """train.py --population end to end on tiny shapes: per-iteration
+    aggregate rows, population eval rows with the member vector, and the
+    selection artifacts."""
+    import pandas as pd
+    import train as train_main
+
+    out = str(tmp_path)
+    rc = train_main.main([
+        "--platform", "cpu", "--n-envs", "8", "--n-steps", "16",
+        "--total-steps", "512", "--minibatch-size", "32",
+        "--n-epochs", "2", "--population", "3", "--eval-every", "256",
+        "--checkpoint-every", "512", "--seed", "7",
+        "--run-name", "pop", "--out-dir", out])
+    assert rc == 0
+    run = os.path.join(out, "pop")
+    df = pd.read_csv(os.path.join(run, "train.csv"))
+    assert list(df["global_step"]) == [128, 256, 384, 512]
+    assert "ep_return_max" in df.columns
+
+    ev = [json.loads(l) for l in open(os.path.join(run, "eval.jsonl"))]
+    assert len(ev) >= 2
+    members = json.loads(ev[-1]["eval_return_members"])
+    assert len(members) == 3
+
+    with open(os.path.join(run, "population.json")) as f:
+        s = json.load(f)
+    assert s["member_seeds"] == [7, 8, 9]
+    assert 0 <= s["selected_member"] < 3
+    assert np.isfinite(s["selected_best_eval"])
+    # the selected artifact loads and evaluates
+    from acas2d_tpu.utils.params_io import load_params_npz
+    sel = load_params_npz(os.path.join(run, "selected_best.npz"))
+    eval_fn = jax.jit(learner.make_eval_fn(
+        ActorCritic(), _tiny_cfg(eval_episodes=4), P))
+    m = jax.device_get(eval_fn(sel, jax.random.PRNGKey(1)))
+    assert np.isfinite(m["eval_return_mean"])
+
+    with open(os.path.join(run, "summary.json")) as f:
+        summ = json.load(f)
+    assert summ["population"] == 3
+    assert summ["population_selection"]["selected_member"] == s["selected_member"]
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_population_axis_shards_over_mesh():
+    """Population leaves shard member-wise over the ('env',) mesh (fully
+    independent members, zero collectives) and a vmapped step executes."""
+    from acas2d_tpu.parallel import mesh as mesh_lib
+
+    cfg = _tiny_cfg()
+    model = ActorCritic()
+    pstate = population.init_population(model, cfg, P, 8)
+    mesh = mesh_lib.make_mesh()
+    pstate = mesh_lib.shard_env_pytree(pstate, mesh)
+    pstep = jax.jit(population.make_population_step(model, cfg, P))
+    pstate, m = pstep(pstate)
+    assert np.isfinite(np.asarray(m["loss"])).all()
+    assert m["loss"].shape == (8,)

@@ -69,6 +69,16 @@ def parse_args(argv=None):
                         "(ops/pallas_update.py; TPU only; multi-device runs "
                         "shard_map it over the env mesh; per-device "
                         "minibatch shard %% 128 == 0)")
+    p.add_argument("--population", type=int, default=0, metavar="P",
+                   help="train P independent member policies in ONE device "
+                        "program (vmap of the full train_step over a "
+                        "population axis; member i == a solo run with "
+                        "--seed seed+i) and select the best member by its "
+                        "greedy-eval record at the end — the antidote to "
+                        "PPO's ~1-in-3 seed lottery at the flagship shape "
+                        "(ppo/population.py). Writes selected_best.npz + "
+                        "population.json into the run dir. XLA paths only; "
+                        "multi-device runs shard members across chips")
     p.add_argument("--seed", type=int, default=13)
     p.add_argument("--out-dir", default="runs/ppo")
     p.add_argument("--run-name", default=None)
@@ -108,6 +118,13 @@ def parse_args(argv=None):
                    help="write a jax.profiler (TensorBoard/xprof) trace of "
                         "iterations 2-4 to <run>/trace and report per-phase "
                         "timers")
+    p.add_argument("--compile-cache", default=None, metavar="DIR|off",
+                   help="persistent XLA compilation cache directory "
+                        "(default: $ACAS2D_COMPILE_CACHE or "
+                        "~/.cache/acas2d_jax_cache; 'off' disables). A warm "
+                        "cache turns the 20-40s first-call compile into a "
+                        "~1s deserialization — the dominant share of a "
+                        "short run's wall clock")
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
     p.add_argument("--platform", choices=["default", "cpu"], default="default",
                    help="force the CPU backend (useful for the tiny 1-env "
@@ -199,21 +216,53 @@ def build_config(args) -> PPOConfig:
     return cfg
 
 
+def enable_compile_cache(arg: str | None) -> str | None:
+    """Point XLA's persistent compilation cache at a stable directory so
+    repeat runs skip the 20-40s first-call compile (VERDICT r3 #1c: 'keep
+    the compilation cache warm').  Returns the directory or None."""
+    cache = arg or os.environ.get(
+        "ACAS2D_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/acas2d_jax_cache"))
+    if cache == "off":
+        return None
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    # cache every nontrivial compile; the default 1GB-entry floor would
+    # skip everything this workload builds
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return cache
+
+
 def main(argv=None):
     t_main = time.time()
     args = parse_args(argv)
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    compile_cache = enable_compile_cache(args.compile_cache)
     mesh_lib.multihost_init()
     cfg = build_config(args)
     env_params = DEFAULT_PARAMS
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
     run_name = args.run_name or (
-        f"ppo_{cfg.n_envs}x{cfg.n_steps}_{cfg.total_timesteps}_s{cfg.seed}")
+        f"ppo_{'pop%d_' % args.population if args.population else ''}"
+        f"{cfg.n_envs}x{cfg.n_steps}_{cfg.total_timesteps}_s{cfg.seed}")
 
     model = ActorCritic()
-    state = learner.init_train_state(
-        jax.random.PRNGKey(cfg.seed), model, cfg, env_params, dtype)
+    pop = args.population
+    if pop:
+        from acas2d_tpu.ppo import population
+        assert not args.exact_eval, (
+            "--exact-eval is a single-policy protocol; evaluate the "
+            "selected member afterwards with eval.py --exact")
+        assert not args.init_params_npz, (
+            "--init-params-npz warm-starts a single policy; population "
+            "members draw independent inits by construction")
+        state = population.init_population(model, cfg, env_params, pop,
+                                           dtype)
+    else:
+        state = learner.init_train_state(
+            jax.random.PRNGKey(cfg.seed), model, cfg, env_params, dtype)
     if args.init_params_npz:
         from acas2d_tpu.utils.params_io import load_params_npz
         loaded = jax.tree.map(
@@ -225,22 +274,35 @@ def main(argv=None):
         print(f"warm-started params from {args.init_params_npz}",
               file=sys.stderr)
 
-    # Shard envs across all chips; replicate the tiny policy.
+    # Shard across all chips; replicate the tiny policy.  In population
+    # mode the POPULATION axis (the leading axis of every TrainState leaf)
+    # shards — members are fully independent, zero collectives; otherwise
+    # the env-batch axis shards and XLA all-reduces the gradients.
     mesh = mesh_lib.make_mesh()
-    sharded = cfg.n_envs % jax.device_count() == 0 and jax.device_count() > 1
-    if sharded:
-        state = state.replace(
-            env_state=mesh_lib.shard_env_pytree(state.env_state, mesh),
-            obs=mesh_lib.shard_env_pytree(state.obs, mesh))
+    if pop:
+        sharded = pop % jax.device_count() == 0 and jax.device_count() > 1
+        if sharded:
+            state = mesh_lib.shard_env_pytree(state, mesh)
+    else:
+        sharded = (cfg.n_envs % jax.device_count() == 0
+                   and jax.device_count() > 1)
+        if sharded:
+            state = state.replace(
+                env_state=mesh_lib.shard_env_pytree(state.env_state, mesh),
+                obs=mesh_lib.shard_env_pytree(state.obs, mesh))
     # The fused Pallas paths (rollout and update kernels) need an explicit
     # shard_map mesh; the XLA paths shard transparently through jit.
     train_mesh = mesh if ((cfg.fused_rollout or cfg.fused_update)
-                          and sharded) else None
+                          and sharded and not pop) else None
 
     # Global step is derived host-side (iteration * batch) as a Python int:
     # an on-device int32 step counter overflows past 2^31 env-steps.
+    # gstep counts PER-MEMBER env-steps in population mode (the sample
+    # budget each member trains for — cadences and total_timesteps keep
+    # their solo-run meaning; members advance in lockstep).
     steps_per_iter = cfg.batch_size
-    gstep_of = lambda st: int(st.iteration) * steps_per_iter
+    gstep_of = lambda st: (
+        int(np.asarray(st.iteration).ravel()[0]) * steps_per_iter)
 
     ckpt = CheckpointManager(f"{args.out_dir}/{run_name}/checkpoints")
     if args.resume:
@@ -254,7 +316,17 @@ def main(argv=None):
     eval_logger = MetricsLogger(f"{args.out_dir}/{run_name}", "eval")
     iters_per_call = resolve_iters_per_call(
         args.iters_per_call, args.preset, jax.default_backend(), cfg)
-    if iters_per_call > 1:
+    if pop:
+        # vmapped-over-members step/loop; metrics leaves carry a trailing
+        # member axis ((P,) per iteration, (K, P) when loop-fused)
+        from acas2d_tpu.ppo import population
+        if iters_per_call > 1:
+            train_fn = jax.jit(population.make_population_loop(
+                model, cfg, env_params, iters_per_call), donate_argnums=(0,))
+        else:
+            train_fn = jax.jit(population.make_population_step(
+                model, cfg, env_params), donate_argnums=(0,))
+    elif iters_per_call > 1:
         # K PPO iterations fused into ONE device program (lax.scan over
         # train_step): one host dispatch + one metrics read-back per K
         # iterations.  Metrics come back stacked with a leading (K,) axis
@@ -277,6 +349,12 @@ def main(argv=None):
         eval_fn = learner.make_exact_eval_fn(
             model, cfg, env_params, dtype,
             skip_episodes=_prior_evals * cfg.eval_episodes)
+    elif pop:
+        from acas2d_tpu.ppo import population
+        eval_fn = jax.jit(population.make_population_eval(
+            model, cfg, env_params, dtype))
+        pop_tracker = population.PopulationTracker(
+            f"{args.out_dir}/{run_name}", pop, cfg.seed)
     else:
         eval_fn = jax.jit(learner.make_eval_fn(model, cfg, env_params, dtype))
 
@@ -316,6 +394,25 @@ def main(argv=None):
         pending_eval = None
         with timers("eval_resolve"):
             em = jax.device_get(em)
+        if pop:
+            # population: log member aggregates + the full member vector;
+            # per-member best params ride the tracker (persisted npz), not
+            # the single-state orbax best/
+            vals = np.asarray(em["eval_return_mean"])
+            row = {k: float(np.asarray(v).mean()) for k, v in em.items()}
+            row["eval_return_max"] = float(vals.max())
+            row["eval_best_member"] = int(vals.argmax())
+            row["eval_return_members"] = json.dumps(
+                [round(float(v), 2) for v in vals])
+            eval_logger.log(row, step=egstep)
+            with timers("best_ckpt"):
+                n_up = pop_tracker.update(
+                    egstep, vals, jax.device_get(est.params))
+            if n_up:
+                print(f"population: {n_up} member(s) improved; best="
+                      f"{pop_tracker.best_vals.max():.2f} (member "
+                      f"{pop_tracker.selected})", file=sys.stderr)
+            return
         eval_logger.log(em, step=egstep)
         # Best-model tracking rides the EVAL cadence (EvalCallback
         # semantics), independent of snapshots.
@@ -354,9 +451,22 @@ def main(argv=None):
                         [jax.tree.map(lambda x: x[i], metrics)
                          for i in range(iters_per_call)])
                 for row in rows:
-                    gstep = int(row.pop("iteration")) * steps_per_iter
+                    if pop:
+                        # member-mean scalars + the member spread that
+                        # matters (return); aggregate device throughput
+                        it_arr = np.asarray(row.pop("iteration"))
+                        gstep = int(it_arr.ravel()[0]) * steps_per_iter
+                        rets = np.asarray(row["ep_return_mean"])
+                        row = {k: float(np.asarray(v).mean())
+                               for k, v in row.items()}
+                        row["ep_return_max"] = float(rets.max())
+                        row["steps_per_s"] = (pop * iters_per_call
+                                              * steps_per_iter / dt)
+                    else:
+                        gstep = int(row.pop("iteration")) * steps_per_iter
+                        row["steps_per_s"] = (iters_per_call
+                                              * steps_per_iter / dt)
                     row["global_step"] = gstep
-                    row["steps_per_s"] = iters_per_call * steps_per_iter / dt
                     logger.log(row, step=gstep)
             gstep = gstep_of(state)
 
@@ -390,6 +500,16 @@ def main(argv=None):
         mem = profiling.device_memory_stats()
         if mem:
             print(f"device memory: {mem}", file=sys.stderr)
+    pop_summary = None
+    if pop:
+        pop_summary = pop_tracker.finalize()
+        print(f"population: selected member {pop_summary['selected_member']}"
+              f" (seed {pop_summary['selected_seed']}) best eval "
+              f"{pop_summary['selected_best_eval']:.2f} at step "
+              f"{pop_summary['selected_best_at_step']}; "
+              f"{pop_summary['members_over_1200']}/{pop} members >= 1200",
+              file=sys.stderr)
+    # per-member steps; population aggregate throughput = pop * these
     steps_done = gstep_of(state) - start_step
     first_call_steps = (iters_per_call * steps_per_iter
                         if first_call_s is not None else 0)
@@ -400,11 +520,13 @@ def main(argv=None):
         "argv": sys.argv[1:] if argv is None else list(argv),
         "backend": jax.default_backend(),
         "n_devices": jax.device_count(),
+        "compile_cache": compile_cache,
         "config": {k: getattr(cfg, k) for k in (
             "n_envs", "n_steps", "total_timesteps", "minibatch_size",
             "n_epochs", "learning_rate", "anneal_lr", "seed",
             "fused_rollout", "fused_update", "eval_every_steps")},
         "iters_per_call": iters_per_call,
+        "population": pop or None,
         "global_step": gstep_of(state),
         "steps_this_process": steps_done,
         "total_wall_s": round(total, 3),
@@ -423,6 +545,10 @@ def main(argv=None):
         "phases_other_s": round(
             total - sum(v for k, v in phases.items() if k.endswith("_s")), 3),
     }
+    if pop:
+        summary["aggregate_steps_per_s"] = round(
+            pop * steps_done / max(total, 1e-9), 1)
+        summary["population_selection"] = pop_summary
     with open(f"{args.out_dir}/{run_name}/summary.json", "w") as f:
         json.dump(summary, f, indent=1)
     print(f"phase timers: {phases}", file=sys.stderr)
