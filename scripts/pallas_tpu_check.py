@@ -206,6 +206,37 @@ def main() -> int:
             f"2x the XLA default-precision envelope {worst_d:.2e}")
     upd["worst_grad_rel_err_kernel_vs_highest"] = worst_k
     upd["worst_grad_rel_err_xladefault_vs_highest"] = worst_d
+
+    # bf16 variant (MXU operands bf16, f32 accumulate): the PPOConfig
+    # docstring claims ~1e-2 relative grad rounding (ppo/config.py:66-73,
+    # previously validated only in the interpreter,
+    # tests/test_pallas_update.py::test_bf16_grads_track_f32) — pin it on
+    # the chip against the same f32-highest anchor
+    grads_bf, _ = jax.jit(lambda p, d: pallas_update.ppo_minibatch_grads(
+        p, d, clip_range=cfg.clip_range, vf_coef=cfg.vf_coef,
+        ent_coef=cfg.ent_coef, interpret=False, bf16=True))(params, packed)
+    worst_bf = worst_bf_vs_f32 = 0.0
+    for (pa, hi), (_, ke), (_, k32) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_hi),
+            jax.tree_util.tree_leaves_with_path(grads_bf),
+            jax.tree_util.tree_leaves_with_path(grads)):
+        hi, ke, k32 = np.asarray(hi), np.asarray(ke), np.asarray(k32)
+        scale = np.abs(hi).max() + 1e-12
+        rel = float(np.abs(hi - ke).max() / scale)
+        worst_bf = max(worst_bf, rel)
+        worst_bf_vs_f32 = max(worst_bf_vs_f32,
+                              float(np.abs(ke - k32).max() / scale))
+        if rel > 3e-2:     # hard cap: 3x the documented ~1e-2 envelope
+            failures.append(
+                f"bf16 update grad {jax.tree_util.keystr(pa)}: rel err "
+                f"{rel:.2e} exceeds the documented ~1e-2 envelope")
+    upd["worst_grad_rel_err_bf16_kernel_vs_highest"] = worst_bf
+    # nonzero == the bf16 flag actually reached the MXU dots (the two
+    # kernel variants genuinely computed different roundings)
+    upd["worst_grad_rel_dev_bf16_vs_f32_kernel"] = worst_bf_vs_f32
+    if worst_bf_vs_f32 == 0.0:
+        failures.append("bf16 kernel grads bit-identical to f32 — the "
+                        "bf16 flag did not reach the kernel")
     upd["loss"] = [float(kaux["loss"]), float(loss)]
     if abs(upd["loss"][0] - upd["loss"][1]) > 1e-4 * (1 + abs(upd["loss"][1])):
         failures.append(f"update loss mismatch {upd['loss']}")

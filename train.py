@@ -88,6 +88,12 @@ def parse_args(argv=None):
                         "per device call (iters_per_call * batch_size): "
                         "checkpoints fire between calls only")
     p.add_argument("--eval-every", type=int, default=None)
+    p.add_argument("--eval-episodes", type=int, default=None,
+                   help="episodes per periodic eval (default: the "
+                        "reference's 10). Population selection maximizes "
+                        "over many noisy evals — a 10-episode mean has "
+                        "sigma ~27 on this task, so population runs want "
+                        "24-32 to keep the argmax from chasing noise")
     p.add_argument("--exact-eval", action="store_true",
                    help="evaluate via the reference's Mersenne-stream "
                         "protocol (host spawns + reset_from from ONE "
@@ -209,6 +215,8 @@ def build_config(args) -> PPOConfig:
         overrides["fused_update_bf16"] = True
     if args.eval_every is not None:
         overrides["eval_every_steps"] = args.eval_every
+    if args.eval_episodes is not None:
+        overrides["eval_episodes"] = args.eval_episodes
     overrides["seed"] = args.seed
     if overrides:
         import dataclasses
