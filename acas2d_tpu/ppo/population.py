@@ -184,19 +184,35 @@ class PopulationTracker:
         import numpy as np
         return int(np.argmax(self.best_vals))
 
-    def finalize(self) -> dict:
-        """Write selected_best.npz + population.json; returns the summary."""
+    def finalize(self, reval_vals=None, reval_episodes: int = 0) -> dict:
+        """Write selected_best.npz + population.json; returns the summary.
+
+        `reval_vals` (pop,), when given, are fresh LARGE-sample greedy
+        evals of each member's stored best snapshot and drive the
+        selection instead of the in-training best values.  The
+        in-training argmax maximizes over hundreds of small noisy evals
+        (a 24-episode mean has sigma ~90 on this task), so it picks
+        ~+2.5-sigma outliers that do not hold up under the strict
+        100-episode protocol (measured: a 1260 in-training best scoring
+        998/100-ep).  A single 256-episode re-eval per member has sigma
+        ~28 and no max-bias."""
         import json
         import os
         import numpy as np
         from acas2d_tpu.utils.params_io import save_params_npz
-        i = self.selected
+        if reval_vals is not None:
+            reval_vals = np.asarray(reval_vals, dtype=float)
+            i = int(np.argmax(reval_vals))
+        else:
+            i = self.selected
         summary = {
             "population": self.pop,
             "master_seed": self.seed,
             "member_seeds": [self.seed + j for j in range(self.pop)],
             "selected_member": i,
             "selected_seed": self.seed + i,
+            "selected_by": ("final_reval" if reval_vals is not None
+                            else "best_training_eval"),
             "selected_best_eval": float(self.best_vals[i]),
             "selected_best_at_step": int(self.best_steps[i]),
             "best_evals": [round(float(v), 2) for v in self.best_vals],
@@ -204,6 +220,13 @@ class PopulationTracker:
             "final_evals": [round(float(v), 2) for v in self.final_vals],
             "members_over_1200": int((self.best_vals >= 1200.0).sum()),
         }
+        if reval_vals is not None:
+            summary["reval_episodes"] = int(reval_episodes)
+            summary["reval_evals"] = [round(float(v), 2)
+                                      for v in reval_vals]
+            summary["selected_reval"] = float(reval_vals[i])
+            summary["members_over_1200_reval"] = int(
+                (reval_vals >= 1200.0).sum())
         if self.best_params is not None:
             save_params_npz(os.path.join(self.run_dir, "selected_best.npz"),
                             member_params(self.best_params, i))

@@ -86,7 +86,12 @@ class MetricsLogger:
         self._open_csv(self._fields
                        + [k for k in new_fields if k not in self._fields])
 
-    def log(self, metrics: Dict, step: Optional[int] = None):
+    def log(self, metrics: Dict, step: Optional[int] = None,
+            echo: Optional[bool] = None):
+        """Persist one row.  `echo` overrides the instance default for this
+        row — a fused K-iteration train call logs K rows at once and only
+        echoes the last (console formatting for thousands of rows costs
+        real wall-clock on short TPU runs; CSV/JSONL/TB stay complete)."""
         row = {k: _to_py(v) for k, v in metrics.items()}
         row.setdefault("wall_time_s", round(time.time() - self._t0, 3))
         if step is not None:
@@ -104,7 +109,7 @@ class MetricsLogger:
             for k, v in row.items():
                 if isinstance(v, (int, float)) and k != "global_step":
                     self._tb.add_scalar(k, v, s)
-        if self.echo:
+        if self.echo if echo is None else echo:
             parts = [f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
                      for k, v in row.items()]
             print(" | ".join(parts), file=sys.stderr)

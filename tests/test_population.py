@@ -102,8 +102,16 @@ def test_tracker_selection_and_persistence(tmp_path):
 
     s = t2.finalize()
     assert s["selected_member"] == 0 and s["selected_seed"] == 100
+    assert s["selected_by"] == "best_training_eval"
     assert os.path.exists(os.path.join(run, "selected_best.npz"))
     assert os.path.exists(os.path.join(run, "population.json"))
+
+    # two-stage selection: a fresh large re-eval overrides the noisy
+    # in-training argmax (member 2 wins despite member 0's higher best)
+    s = t2.finalize(reval_vals=[900.0, 800.0, 1210.0], reval_episodes=256)
+    assert s["selected_member"] == 2 and s["selected_by"] == "final_reval"
+    assert s["selected_reval"] == 1210.0
+    assert s["members_over_1200_reval"] == 1
 
 
 def test_train_population_driver(tmp_path):
@@ -118,7 +126,7 @@ def test_train_population_driver(tmp_path):
         "--platform", "cpu", "--n-envs", "8", "--n-steps", "16",
         "--total-steps", "512", "--minibatch-size", "32",
         "--n-epochs", "2", "--population", "3", "--eval-every", "256",
-        "--checkpoint-every", "512", "--seed", "7",
+        "--checkpoint-every", "512", "--seed", "7", "--reval-episodes", "8",
         "--run-name", "pop", "--out-dir", out])
     assert rc == 0
     run = os.path.join(out, "pop")
@@ -136,6 +144,11 @@ def test_train_population_driver(tmp_path):
     assert s["member_seeds"] == [7, 8, 9]
     assert 0 <= s["selected_member"] < 3
     assert np.isfinite(s["selected_best_eval"])
+    # default two-stage selection ran (the 8-episode fresh re-eval)
+    assert s["selected_by"] == "final_reval"
+    assert len(s["reval_evals"]) == 3
+    assert s["selected_reval"] == pytest.approx(max(s["reval_evals"]),
+                                                abs=0.01)
     # the selected artifact loads and evaluates
     from acas2d_tpu.utils.params_io import load_params_npz
     sel = load_params_npz(os.path.join(run, "selected_best.npz"))

@@ -79,6 +79,11 @@ def parse_args(argv=None):
                         "(ppo/population.py). Writes selected_best.npz + "
                         "population.json into the run dir. XLA paths only; "
                         "multi-device runs shard members across chips")
+    p.add_argument("--reval-episodes", type=int, default=256,
+                   help="population mode: episodes of the fresh end-of-run "
+                        "re-eval of every member's best snapshot that "
+                        "drives the final selection (0 = select by the "
+                        "noisy in-training best evals)")
     p.add_argument("--seed", type=int, default=13)
     p.add_argument("--out-dir", default="runs/ppo")
     p.add_argument("--run-name", default=None)
@@ -458,7 +463,7 @@ def main(argv=None):
                 rows = ([metrics] if iters_per_call == 1 else
                         [jax.tree.map(lambda x: x[i], metrics)
                          for i in range(iters_per_call)])
-                for row in rows:
+                for ri, row in enumerate(rows):
                     if pop:
                         # member-mean scalars + the member spread that
                         # matters (return); aggregate device throughput
@@ -475,7 +480,11 @@ def main(argv=None):
                         row["steps_per_s"] = (iters_per_call
                                               * steps_per_iter / dt)
                     row["global_step"] = gstep
-                    logger.log(row, step=gstep)
+                    # echo once per device call, not once per iteration —
+                    # console formatting of K rows costs wall-clock that
+                    # shows up in short-run avg throughput
+                    logger.log(row, step=gstep,
+                               echo=(ri == len(rows) - 1))
             gstep = gstep_of(state)
 
             if gstep >= next_eval:
@@ -510,12 +519,32 @@ def main(argv=None):
             print(f"device memory: {mem}", file=sys.stderr)
     pop_summary = None
     if pop:
-        pop_summary = pop_tracker.finalize()
+        reval_vals = None
+        if args.reval_episodes > 0 and pop_tracker.best_params is not None:
+            # two-stage selection: one LARGE fresh eval of every member's
+            # stored best snapshot (the in-training argmax chases eval
+            # noise — see PopulationTracker.finalize)
+            import dataclasses as _dc
+            from acas2d_tpu.ppo import population
+            with timers("final_reval"):
+                reval_fn = jax.jit(population.make_population_eval(
+                    model, _dc.replace(cfg,
+                                       eval_episodes=args.reval_episodes),
+                    env_params, dtype))
+                bp = jax.tree.map(lambda x: jnp.asarray(x, dtype),
+                                  pop_tracker.best_params)
+                rm = jax.device_get(reval_fn(
+                    bp, jax.random.PRNGKey(cfg.seed + 99)))
+            reval_vals = rm["eval_return_mean"]
+        pop_summary = pop_tracker.finalize(
+            reval_vals, reval_episodes=args.reval_episodes)
+        sel_val = pop_summary.get("selected_reval",
+                                  pop_summary["selected_best_eval"])
         print(f"population: selected member {pop_summary['selected_member']}"
-              f" (seed {pop_summary['selected_seed']}) best eval "
-              f"{pop_summary['selected_best_eval']:.2f} at step "
-              f"{pop_summary['selected_best_at_step']}; "
-              f"{pop_summary['members_over_1200']}/{pop} members >= 1200",
+              f" (seed {pop_summary['selected_seed']}, by "
+              f"{pop_summary['selected_by']}) eval {sel_val:.2f} "
+              f"(training best {pop_summary['selected_best_eval']:.2f} at "
+              f"step {pop_summary['selected_best_at_step']})",
               file=sys.stderr)
     # per-member steps; population aggregate throughput = pop * these
     steps_done = gstep_of(state) - start_step
