@@ -109,74 +109,121 @@ def population_throughput_steps(cfg: PPOConfig, pop: int) -> int:
 
 
 class PopulationTracker:
-    """Host-side per-member best-eval tracking + end-of-run selection.
+    """Host-side per-member snapshot archive + end-of-run selection.
 
-    The EvalCallback-equivalent for a population: each member's best greedy
-    eval (value, step, params snapshot) is tracked across the run and
-    persisted to `<run>/population_best.npz` at every improvement, so a
-    killed run resumes without losing its lottery winners.  `finalize`
-    selects the best member, writes its params as a portable npz
-    (`selected_best.npz`) and a `population.json` summary.
+    The EvalCallback-equivalent for a population: each member keeps its
+    `k` HIGHEST in-training greedy evals (value, step, params snapshot) —
+    not just the single best, because the in-training argmax chases eval
+    noise and a member's true peak usually hides in one of its top few
+    noisy peaks.  The archive persists to `<run>/population_best.npz` at
+    every improvement, so a killed run resumes without losing its lottery
+    winners.  `finalize` selects across ALL pop x k snapshots (preferably
+    by a fresh large re-eval of each — see train.py --reval-episodes),
+    writes the winner as a portable npz (`selected_best.npz`) and a
+    `population.json` summary.
     """
 
-    def __init__(self, run_dir: str, pop: int, seed: int):
+    def __init__(self, run_dir: str, pop: int, seed: int, k: int = 6):
         import os
         import numpy as np
         self.run_dir = run_dir
         self.pop = pop
         self.seed = seed
-        self.best_vals = np.full(pop, -np.inf)
-        self.best_steps = np.zeros(pop, dtype=np.int64)
-        self.best_params = None       # stacked host tree, (pop,) leading
+        self.k = k
+        self.snap_vals = np.full((pop, k), -np.inf)
+        self.snap_steps = np.zeros((pop, k), dtype=np.int64)
+        self.snap_params = None     # stacked host tree, (pop, k) leading
         self.final_vals = np.full(pop, np.nan)
         self._path = os.path.join(run_dir, "population_best.npz")
         if os.path.exists(self._path):
             self._load()
+
+    # -- views ------------------------------------------------------------
+    @property
+    def best_vals(self):
+        """Per-member best in-training eval, (pop,)."""
+        return self.snap_vals.max(axis=1)
+
+    @property
+    def best_steps(self):
+        """Step of each member's best in-training eval, (pop,)."""
+        import numpy as np
+        return np.take_along_axis(
+            self.snap_steps, self.snap_vals.argmax(1)[:, None], 1)[:, 0]
 
     # -- persistence ------------------------------------------------------
     def _load(self):
         import numpy as np
         from acas2d_tpu.utils.params_io import load_params_npz
         d = np.load(self._path)
-        vals, steps = d["__best_vals__"], d["__best_steps__"]
-        if len(vals) != self.pop:
-            return                     # population size changed; start over
-        self.best_vals = vals.copy()
-        self.best_steps = steps.copy()
-        tree = load_params_npz(self._path)
-        tree.pop("__best_vals__", None)
-        tree.pop("__best_steps__", None)
-        self.best_params = tree
+        if "__snap_vals__" in d.files:
+            vals, steps = d["__snap_vals__"], d["__snap_steps__"]
+            if vals.shape != (self.pop, self.k):
+                return             # population/archive shape changed
+            self.snap_vals = vals.copy()
+            self.snap_steps = steps.copy()
+            tree = load_params_npz(self._path)
+            for meta in ("__snap_vals__", "__snap_steps__"):
+                tree.pop(meta, None)
+            self.snap_params = tree
+        elif "__best_vals__" in d.files:
+            # legacy single-snapshot format: load into slot 0
+            vals, steps = d["__best_vals__"], d["__best_steps__"]
+            if len(vals) != self.pop:
+                return
+            self.snap_vals[:, 0] = vals
+            self.snap_steps[:, 0] = steps
+            tree = load_params_npz(self._path)
+            for meta in ("__best_vals__", "__best_steps__"):
+                tree.pop(meta, None)
+            self.snap_params = jax.tree.map(
+                lambda x: _tile_slot0(x, self.k), tree)
 
     def _save(self):
         import numpy as np
         from acas2d_tpu.utils.params_io import _flatten
-        flat = _flatten(self.best_params)
-        np.savez(self._path, __best_vals__=self.best_vals,
-                 __best_steps__=self.best_steps, **flat)
+        flat = _flatten(self.snap_params)
+        np.savez(self._path, __snap_vals__=self.snap_vals,
+                 __snap_steps__=self.snap_steps, **flat)
 
     # -- updates ----------------------------------------------------------
     def update(self, gstep: int, eval_vals, params_host) -> int:
         """Record one population eval: `eval_vals` (pop,) member returns,
         `params_host` the stacked host-side params tree at that step.
-        Returns the number of members that improved."""
+        Member i's snapshot enters its archive when it beats the member's
+        current k-th best.  Returns the number of members updated."""
         import numpy as np
         eval_vals = np.asarray(eval_vals)
         self.final_vals = eval_vals.copy()
-        improved = np.flatnonzero(eval_vals > self.best_vals)
+        slot_min = self.snap_vals.argmin(axis=1)           # (pop,)
+        min_vals = np.take_along_axis(
+            self.snap_vals, slot_min[:, None], 1)[:, 0]
+        improved = np.flatnonzero(eval_vals > min_vals)
         if improved.size == 0:
             return 0
-        if self.best_params is None:
-            self.best_params = jax.tree.map(np.array, params_host)
-        else:
-            for i in improved:
-                self.best_params = jax.tree.map(
-                    lambda b, n, i=int(i): _set_row(b, n, i),
-                    self.best_params, params_host)
-        self.best_vals[improved] = eval_vals[improved]
-        self.best_steps[improved] = gstep
+        if self.snap_params is None:
+            self.snap_params = jax.tree.map(
+                lambda x: np.repeat(np.asarray(x)[:, None], self.k, axis=1),
+                params_host)
+            # only the claimed slots carry real values; the rest stay -inf
+        for i in improved:
+            j = int(slot_min[i])
+            self.snap_vals[i, j] = eval_vals[i]
+            self.snap_steps[i, j] = gstep
+            self.snap_params = jax.tree.map(
+                lambda b, n, i=int(i), j=j: _set_slot(b, n, i, j),
+                self.snap_params, params_host)
         self._save()
         return int(improved.size)
+
+    def snapshots_flat(self):
+        """All pop*k snapshot params stacked on one leading axis (order:
+        member-major), plus the matching (pop*k,) value vector."""
+        assert self.snap_params is not None
+        flat = jax.tree.map(
+            lambda x: x.reshape((self.pop * self.k,) + x.shape[2:]),
+            self.snap_params)
+        return flat, self.snap_vals.reshape(-1)
 
     # -- selection --------------------------------------------------------
     @property
@@ -187,56 +234,78 @@ class PopulationTracker:
     def finalize(self, reval_vals=None, reval_episodes: int = 0) -> dict:
         """Write selected_best.npz + population.json; returns the summary.
 
-        `reval_vals` (pop,), when given, are fresh LARGE-sample greedy
-        evals of each member's stored best snapshot and drive the
-        selection instead of the in-training best values.  The
-        in-training argmax maximizes over hundreds of small noisy evals
-        (a 24-episode mean has sigma ~90 on this task), so it picks
-        ~+2.5-sigma outliers that do not hold up under the strict
+        `reval_vals`, when given, are fresh LARGE-sample greedy evals of
+        every archived snapshot — shaped (pop, k) (or flat pop*k,
+        member-major) — and drive the selection instead of the in-training
+        values.  The in-training argmax maximizes over hundreds of small
+        noisy evals (a 24-episode mean has sigma ~90 on this task), so it
+        picks ~+2.5-sigma outliers that do not hold up under the strict
         100-episode protocol (measured: a 1260 in-training best scoring
-        998/100-ep).  A single 256-episode re-eval per member has sigma
-        ~28 and no max-bias."""
+        998/100-ep).  A 256-episode re-eval has sigma ~28 and no max-bias;
+        re-evaluating the whole k-deep archive also rescues true peaks
+        that the noisy within-member ranking buried."""
         import json
         import os
         import numpy as np
         from acas2d_tpu.utils.params_io import save_params_npz
         if reval_vals is not None:
-            reval_vals = np.asarray(reval_vals, dtype=float)
-            i = int(np.argmax(reval_vals))
+            reval_vals = np.asarray(reval_vals, dtype=float).reshape(
+                self.pop, self.k)
+            # never select an unclaimed (-inf) slot, whatever its reval
+            reval_vals = np.where(np.isfinite(self.snap_vals),
+                                  reval_vals, -np.inf)
+            i, j = np.unravel_index(int(np.argmax(reval_vals)),
+                                    reval_vals.shape)
+            i, j = int(i), int(j)
         else:
             i = self.selected
+            j = int(self.snap_vals[i].argmax())
         summary = {
             "population": self.pop,
+            "snapshots_per_member": self.k,
             "master_seed": self.seed,
-            "member_seeds": [self.seed + j for j in range(self.pop)],
+            "member_seeds": [self.seed + m for m in range(self.pop)],
             "selected_member": i,
             "selected_seed": self.seed + i,
             "selected_by": ("final_reval" if reval_vals is not None
                             else "best_training_eval"),
-            "selected_best_eval": float(self.best_vals[i]),
-            "selected_best_at_step": int(self.best_steps[i]),
+            "selected_training_eval": float(self.snap_vals[i, j]),
+            "selected_at_step": int(self.snap_steps[i, j]),
             "best_evals": [round(float(v), 2) for v in self.best_vals],
             "best_at_steps": [int(s) for s in self.best_steps],
             "final_evals": [round(float(v), 2) for v in self.final_vals],
             "members_over_1200": int((self.best_vals >= 1200.0).sum()),
         }
         if reval_vals is not None:
+            member_best_reval = reval_vals.max(axis=1)
             summary["reval_episodes"] = int(reval_episodes)
             summary["reval_evals"] = [round(float(v), 2)
-                                      for v in reval_vals]
-            summary["selected_reval"] = float(reval_vals[i])
+                                      for v in member_best_reval]
+            summary["selected_reval"] = float(reval_vals[i, j])
             summary["members_over_1200_reval"] = int(
-                (reval_vals >= 1200.0).sum())
-        if self.best_params is not None:
-            save_params_npz(os.path.join(self.run_dir, "selected_best.npz"),
-                            member_params(self.best_params, i))
+                (member_best_reval >= 1200.0).sum())
+        if self.snap_params is not None:
+            save_params_npz(
+                os.path.join(self.run_dir, "selected_best.npz"),
+                jax.tree.map(lambda x: x[i, j], self.snap_params))
         with open(os.path.join(self.run_dir, "population.json"), "w") as f:
             json.dump(summary, f, indent=1)
         return summary
 
 
-def _set_row(best_leaf, new_leaf, i: int):
+def _set_slot(arch_leaf, new_leaf, i: int, j: int):
+    """arch_leaf (pop, k, ...): write member i's current params into
+    archive slot j."""
     import numpy as np
-    out = np.array(best_leaf)
-    out[i] = np.asarray(new_leaf)[i]
+    out = np.array(arch_leaf)
+    out[i, j] = np.asarray(new_leaf)[i]
     return out
+
+
+def _tile_slot0(leaf, k: int):
+    """Legacy (pop, ...) snapshot leaf -> (pop, k, ...) archive (slot 0
+    carries the legacy snapshot; other slots are placeholders guarded by
+    their -inf values)."""
+    import numpy as np
+    leaf = np.asarray(leaf)
+    return np.repeat(leaf[:, None], k, axis=1)

@@ -74,31 +74,37 @@ def test_population_eval_per_member():
 
 
 def test_tracker_selection_and_persistence(tmp_path):
-    """Per-member best tracking: improvements recorded member-wise, the
-    persisted npz survives a restart, selection is argmax of bests."""
+    """Per-member top-k snapshot archive: improvements recorded into the
+    member's weakest slot, the persisted npz survives a restart, selection
+    is argmax of bests (or of the full-archive reval)."""
     run = str(tmp_path)
     params = {"dense": {"kernel": np.arange(12, dtype=np.float32)
                         .reshape(3, 4)}}
 
-    t = population.PopulationTracker(run, 3, seed=100)
+    t = population.PopulationTracker(run, 3, seed=100, k=2)
     assert t.update(10, [5.0, 1.0, 3.0], params) == 3
-    # member 1 improves; its stored row must change, others keep theirs
+    # member 1 improves; a second slot fills, the first stays
     p2 = jax.tree.map(lambda x: x + 100.0, params)
-    assert t.update(20, [4.0, 2.0, 3.0], p2) == 1
+    assert t.update(20, [4.0, 2.0, 3.0], p2) == 3   # all have a free slot
     np.testing.assert_array_equal(t.best_vals, [5.0, 2.0, 3.0])
     np.testing.assert_array_equal(t.best_steps, [10, 20, 10])
+    # a third eval only enters where it beats the member's weakest slot
+    p3 = jax.tree.map(lambda x: x + 200.0, params)
+    assert t.update(30, [4.5, 0.5, 1.0], p3) == 1   # only member 0
+    assert sorted(t.snap_vals[0]) == [4.5, 5.0]
+    np.testing.assert_array_equal(sorted(t.snap_vals[1]), [1.0, 2.0])
+
+    # the archived params rows match the evals that claimed them
+    i0_best = int(t.snap_vals[0].argmax())
     np.testing.assert_array_equal(
-        t.best_params["dense"]["kernel"][1],
-        params["dense"]["kernel"][1] + 100.0)
-    np.testing.assert_array_equal(
-        t.best_params["dense"]["kernel"][0], params["dense"]["kernel"][0])
-    assert t.selected == 0
+        t.snap_params["dense"]["kernel"][0, i0_best],
+        params["dense"]["kernel"][0])
 
     # restart: state restored from the persisted npz
-    t2 = population.PopulationTracker(run, 3, seed=100)
-    np.testing.assert_array_equal(t2.best_vals, t.best_vals)
+    t2 = population.PopulationTracker(run, 3, seed=100, k=2)
+    np.testing.assert_array_equal(t2.snap_vals, t.snap_vals)
     np.testing.assert_array_equal(
-        t2.best_params["dense"]["kernel"], t.best_params["dense"]["kernel"])
+        t2.snap_params["dense"]["kernel"], t.snap_params["dense"]["kernel"])
 
     s = t2.finalize()
     assert s["selected_member"] == 0 and s["selected_seed"] == 100
@@ -106,12 +112,21 @@ def test_tracker_selection_and_persistence(tmp_path):
     assert os.path.exists(os.path.join(run, "selected_best.npz"))
     assert os.path.exists(os.path.join(run, "population.json"))
 
-    # two-stage selection: a fresh large re-eval overrides the noisy
-    # in-training argmax (member 2 wins despite member 0's higher best)
-    s = t2.finalize(reval_vals=[900.0, 800.0, 1210.0], reval_episodes=256)
+    # two-stage selection: a fresh large re-eval of the WHOLE archive
+    # overrides the noisy in-training ranking (member 2's snapshot wins
+    # despite member 0's higher in-training best)
+    reval = np.array([[900.0, 820.0], [800.0, 640.0], [1210.0, 400.0]])
+    s = t2.finalize(reval_vals=reval, reval_episodes=256)
     assert s["selected_member"] == 2 and s["selected_by"] == "final_reval"
     assert s["selected_reval"] == 1210.0
     assert s["members_over_1200_reval"] == 1
+    # the written artifact is the selected snapshot's params
+    from acas2d_tpu.utils.params_io import load_params_npz
+    sel = load_params_npz(os.path.join(run, "selected_best.npz"))
+    j = int(np.argmax(np.where(np.isfinite(t2.snap_vals[2]),
+                               reval[2], -np.inf)))
+    np.testing.assert_array_equal(sel["dense"]["kernel"],
+                                  t2.snap_params["dense"]["kernel"][2, j])
 
 
 def test_train_population_driver(tmp_path):
@@ -143,7 +158,7 @@ def test_train_population_driver(tmp_path):
         s = json.load(f)
     assert s["member_seeds"] == [7, 8, 9]
     assert 0 <= s["selected_member"] < 3
-    assert np.isfinite(s["selected_best_eval"])
+    assert np.isfinite(s["selected_training_eval"])
     # default two-stage selection ran (the 8-episode fresh re-eval)
     assert s["selected_by"] == "final_reval"
     assert len(s["reval_evals"]) == 3

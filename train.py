@@ -520,10 +520,10 @@ def main(argv=None):
     pop_summary = None
     if pop:
         reval_vals = None
-        if args.reval_episodes > 0 and pop_tracker.best_params is not None:
-            # two-stage selection: one LARGE fresh eval of every member's
-            # stored best snapshot (the in-training argmax chases eval
-            # noise — see PopulationTracker.finalize)
+        if args.reval_episodes > 0 and pop_tracker.snap_params is not None:
+            # two-stage selection: one LARGE fresh eval of EVERY archived
+            # snapshot — pop x k param sets at once (the in-training
+            # argmax chases eval noise — see PopulationTracker.finalize)
             import dataclasses as _dc
             from acas2d_tpu.ppo import population
             with timers("final_reval"):
@@ -531,20 +531,21 @@ def main(argv=None):
                     model, _dc.replace(cfg,
                                        eval_episodes=args.reval_episodes),
                     env_params, dtype))
+                flat_params, _ = pop_tracker.snapshots_flat()
                 bp = jax.tree.map(lambda x: jnp.asarray(x, dtype),
-                                  pop_tracker.best_params)
+                                  flat_params)
                 rm = jax.device_get(reval_fn(
                     bp, jax.random.PRNGKey(cfg.seed + 99)))
-            reval_vals = rm["eval_return_mean"]
+            reval_vals = rm["eval_return_mean"]    # (pop*k,) member-major
         pop_summary = pop_tracker.finalize(
             reval_vals, reval_episodes=args.reval_episodes)
         sel_val = pop_summary.get("selected_reval",
-                                  pop_summary["selected_best_eval"])
+                                  pop_summary["selected_training_eval"])
         print(f"population: selected member {pop_summary['selected_member']}"
               f" (seed {pop_summary['selected_seed']}, by "
               f"{pop_summary['selected_by']}) eval {sel_val:.2f} "
-              f"(training best {pop_summary['selected_best_eval']:.2f} at "
-              f"step {pop_summary['selected_best_at_step']})",
+              f"(training eval {pop_summary['selected_training_eval']:.2f} "
+              f"at step {pop_summary['selected_at_step']})",
               file=sys.stderr)
     # per-member steps; population aggregate throughput = pop * these
     steps_done = gstep_of(state) - start_step
