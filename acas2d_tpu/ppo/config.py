@@ -63,13 +63,15 @@ class PPOConfig:
     # (minibatch_size / n_devices) % 128 == 0 and the default
     # (64,64)/obs-8 architecture.
     fused_update: bool = False
-    # Feed the fused update's MXU matmuls bf16 operands (f32 accumulate).
-    # Gradient rounding grows to ~1e-2 relative — far below PPO's gradient
-    # noise (tests/test_pallas_update.py::test_bf16_grads_track_f32 pins
-    # the grads against the f32 kernel), but outside the
-    # grads-match-jax.grad bit-compat contract, hence opt-in.  Measured
-    # v5e: saves only ~18us of the 167us grad step — the kernel is
-    # VPU-elementwise-bound, not MXU-bound (docs/PERFORMANCE.md).
+    # Explicitly cast the fused update's MXU operands to bf16 (f32
+    # accumulate).  On v5e this is a numeric AND perf no-op: Mosaic's
+    # default-precision f32 dot already quantizes operands to bf16 in a
+    # single MXU pass — verified on chip (bf16 grads bit-identical to the
+    # f32 kernel's; operand-quantization probe in
+    # scripts/pallas_tpu_check.py / artifacts/pallas_tpu_check.json).
+    # Kept for portability to targets whose default dot is multi-pass
+    # f32, where the cast would trade ~1e-2 relative grad rounding
+    # (interpreter-measured, tests/test_pallas_update.py) for MXU rate.
     fused_update_bf16: bool = False
     # Columns per kernel grid step.  The grid is sequential with ~4-5us
     # fixed cost per step (measured v5e), which dominates the 167us f32

@@ -231,7 +231,8 @@ class PopulationTracker:
         import numpy as np
         return int(np.argmax(self.best_vals))
 
-    def finalize(self, reval_vals=None, reval_episodes: int = 0) -> dict:
+    def finalize(self, reval_vals=None, reval_episodes: int = 0,
+                 reval_stds=None) -> dict:
         """Write selected_best.npz + population.json; returns the summary.
 
         `reval_vals`, when given, are fresh LARGE-sample greedy evals of
@@ -243,19 +244,35 @@ class PopulationTracker:
         100-episode protocol (measured: a 1260 in-training best scoring
         998/100-ep).  A 256-episode re-eval has sigma ~28 and no max-bias;
         re-evaluating the whole k-deep archive also rescues true peaks
-        that the noisy within-member ranking buried."""
+        that the noisy within-member ranking buried.
+
+        `reval_stds` (same shape; per-episode reward std from the re-eval)
+        makes the selection risk-adjusted: the strict protocol is a FIXED
+        100-episode set, so a policy's score there is its true mean plus
+        a ~std/sqrt(100) sampling deviation — a policy with rare
+        timeouts/collisions (std 300-450) can lose 40-90 points to an
+        unlucky draw (measured: reval 1210 -> strict 1167 via 4 timeouts;
+        reval 1200 -> strict 1119 via 4 collisions).  Score =
+        mean - 2*std/sqrt(100); consistent all-goal policies (std ~60)
+        are barely penalized, episode-lottery policies are demoted."""
         import json
         import os
         import numpy as np
         from acas2d_tpu.utils.params_io import save_params_npz
+        score_vals = None
         if reval_vals is not None:
             reval_vals = np.asarray(reval_vals, dtype=float).reshape(
                 self.pop, self.k)
+            score_vals = reval_vals
+            if reval_stds is not None:
+                stds = np.asarray(reval_stds, dtype=float).reshape(
+                    self.pop, self.k)
+                score_vals = reval_vals - 2.0 * stds / np.sqrt(100.0)
             # never select an unclaimed (-inf) slot, whatever its reval
-            reval_vals = np.where(np.isfinite(self.snap_vals),
-                                  reval_vals, -np.inf)
-            i, j = np.unravel_index(int(np.argmax(reval_vals)),
-                                    reval_vals.shape)
+            score_vals = np.where(np.isfinite(self.snap_vals),
+                                  score_vals, -np.inf)
+            i, j = np.unravel_index(int(np.argmax(score_vals)),
+                                    score_vals.shape)
             i, j = int(i), int(j)
         else:
             i = self.selected
@@ -284,6 +301,12 @@ class PopulationTracker:
             summary["selected_reval"] = float(reval_vals[i, j])
             summary["members_over_1200_reval"] = int(
                 (member_best_reval >= 1200.0).sum())
+            if reval_stds is not None:
+                summary["risk_adjusted_selection"] = True
+                summary["selected_reval_std"] = float(
+                    np.asarray(reval_stds, dtype=float).reshape(
+                        self.pop, self.k)[i, j])
+                summary["selected_score"] = float(score_vals[i, j])
         if self.snap_params is not None:
             save_params_npz(
                 os.path.join(self.run_dir, "selected_best.npz"),

@@ -56,7 +56,8 @@ def main(argv=None) -> int:
     bp = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), flat_params)
     rm = jax.device_get(reval_fn(bp, jax.random.PRNGKey(seed + 99)))
     summary = tracker.finalize(rm["eval_return_mean"],
-                               reval_episodes=args.episodes)
+                               reval_episodes=args.episodes,
+                               reval_stds=rm["eval_return_std"])
     print(json.dumps(summary, indent=1))
     return 0
 

@@ -128,6 +128,19 @@ def test_tracker_selection_and_persistence(tmp_path):
     np.testing.assert_array_equal(sel["dense"]["kernel"],
                                   t2.snap_params["dense"]["kernel"][2, j])
 
+    # risk-adjusted selection: a higher-mean but high-variance snapshot
+    # (rare timeouts/collisions) loses to a consistent one (measured
+    # failure modes: reval 1210 -> strict 1167 via 4 timeouts; 1200 ->
+    # 1119 via 4 collisions)
+    reval = np.array([[1210.0, 0.0], [1195.0, 0.0], [500.0, 0.0]])
+    stds = np.array([[350.0, 60.0], [60.0, 60.0], [60.0, 60.0]])
+    s = t2.finalize(reval_vals=reval, reval_episodes=256,
+                    reval_stds=stds)
+    # member 0 slot 0 scores 1210 - 2*350/10 = 1140 < 1195 - 12 = 1183
+    assert s["selected_member"] == 1
+    assert s["risk_adjusted_selection"] is True
+    assert s["selected_reval_std"] == 60.0
+
 
 def test_train_population_driver(tmp_path):
     """train.py --population end to end on tiny shapes: per-iteration

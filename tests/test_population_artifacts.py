@@ -1,0 +1,80 @@
+"""Committed population-run artifacts: the seed lottery is dead.
+
+Round-3 verdict: no committed configuration *reliably* reached a >=1200
+policy — the flagship (1252) was a selected seed among many.  Round 4's
+`train.py --population 32` (one vmapped device program; per-member top-k
+snapshot archives; end-of-run 512-episode re-eval of all snapshots) was
+run at three fresh master seeds, and every run's auto-selected policy
+clears 1200 on the strict 100-episode Mersenne protocol (the reference's
+own final eval: 1198.22 over 10 episodes).
+
+Artifacts per master seed under artifacts/population/:
+  pop32_s<seed>_selected.npz   — the auto-selected policy
+  pop32_s<seed>_population.json — per-member archive + selection record
+  pop32_s<seed>_strict.json     — strict 100-episode eval result + repro cmd
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ART = os.path.join(REPO, "artifacts", "population")
+SEEDS = (701, 801, 901)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ART), reason="population artifacts not present")
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_strict_protocol_clears_1200(seed):
+    """Every master seed's auto-selected policy recorded >=1200 mean and
+    100/100 goals on the strict 100-episode exact protocol."""
+    with open(os.path.join(ART, f"pop32_s{seed}_strict.json")) as f:
+        s = json.load(f)
+    assert s["episodes"] == 100
+    assert s["mean_reward"] >= 1200.0, s
+    assert s["goals"] == 100, s
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_selection_record_is_two_stage(seed):
+    """Selection was the 512-episode fresh re-eval over the full pop x k
+    snapshot archive (not the noisy in-training argmax), and the recorded
+    re-eval value is consistent with the strict result."""
+    with open(os.path.join(ART, f"pop32_s{seed}_population.json")) as f:
+        p = json.load(f)
+    with open(os.path.join(ART, f"pop32_s{seed}_strict.json")) as f:
+        s = json.load(f)
+    assert p["population"] == 32
+    assert p["selected_by"] == "final_reval"
+    assert p["reval_episodes"] >= 256
+    assert p["master_seed"] == seed
+    # fresh-episode re-eval and the fixed strict set agree within noise
+    assert abs(p["selected_reval"] - s["mean_reward"]) < 60.0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", SEEDS)
+def test_selected_policy_reproduces_quality(seed):
+    """The shipped npz actually achieves its claimed quality: >=1150 mean
+    and >=97% goals over 64 FRESH episodes (the same robustness bar the
+    flagship artifact is held to in test_parity_artifacts.py)."""
+    import jax
+
+    from acas2d_tpu.config import DEFAULT_PARAMS
+    from acas2d_tpu.models.actor_critic import ActorCritic
+    from acas2d_tpu.ppo import learner
+    from acas2d_tpu.ppo.config import PPOConfig
+    from acas2d_tpu.utils.params_io import load_params_npz
+
+    params = load_params_npz(os.path.join(ART, f"pop32_s{seed}_selected.npz"))
+    cfg = PPOConfig(eval_episodes=64)
+    eval_fn = jax.jit(learner.make_eval_fn(
+        ActorCritic(), cfg, DEFAULT_PARAMS))
+    m = jax.device_get(eval_fn(params, jax.random.PRNGKey(7)))
+    assert m["eval_done_all"]
+    assert float(m["eval_return_mean"]) >= 1150.0, m
+    assert float(m["eval_goal_rate"]) >= 0.97, m

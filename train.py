@@ -59,10 +59,12 @@ def parse_args(argv=None):
     p.add_argument("--fused-chunk", type=int, default=None,
                    help="steps per fused rollout launch (default 16)")
     p.add_argument("--fused-update-bf16", action="store_true",
-                   help="bf16 MXU operands (f32 accumulate) inside the "
-                        "fused update kernel: ~4x the matmul rate, grad "
-                        "rounding ~1e-2 relative (statistically neutral "
-                        "for PPO; outside the bit-compat contract)")
+                   help="explicitly cast the fused update kernel's MXU "
+                        "operands to bf16. On v5e this is a verified "
+                        "no-op (Mosaic's default f32 dot already "
+                        "quantizes operands to bf16 — "
+                        "ppo/config.py:fused_update_bf16); kept for "
+                        "other targets")
     p.add_argument("--fused-update", action="store_true",
                    help="compute each PPO minibatch gradient with the fused "
                         "Pallas forward+backward kernel "
@@ -268,15 +270,27 @@ def main(argv=None):
         assert not args.exact_eval, (
             "--exact-eval is a single-policy protocol; evaluate the "
             "selected member afterwards with eval.py --exact")
-        assert not args.init_params_npz, (
-            "--init-params-npz warm-starts a single policy; population "
-            "members draw independent inits by construction")
         state = population.init_population(model, cfg, env_params, pop,
                                            dtype)
+        if args.init_params_npz:
+            # polish stage: every member starts from the SAME policy (a
+            # stage-1 selected_best.npz) and diverges through its own
+            # env/action RNG streams — selection then keeps the best
+            # fine-tuned variant
+            from acas2d_tpu.utils.params_io import load_params_npz
+            loaded = jax.tree.map(
+                lambda x: jnp.asarray(x, dtype),
+                load_params_npz(args.init_params_npz))
+            tiled = jax.jit(lambda p: jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    x[None], (pop,) + x.shape).copy(), p))(loaded)
+            state = state.replace(params=tiled)
+            print(f"population warm-started from {args.init_params_npz}",
+                  file=sys.stderr)
     else:
         state = learner.init_train_state(
             jax.random.PRNGKey(cfg.seed), model, cfg, env_params, dtype)
-    if args.init_params_npz:
+    if args.init_params_npz and not pop:
         from acas2d_tpu.utils.params_io import load_params_npz
         loaded = jax.tree.map(
             lambda x: jnp.asarray(x, dtype), load_params_npz(args.init_params_npz))
@@ -538,7 +552,9 @@ def main(argv=None):
                     bp, jax.random.PRNGKey(cfg.seed + 99)))
             reval_vals = rm["eval_return_mean"]    # (pop*k,) member-major
         pop_summary = pop_tracker.finalize(
-            reval_vals, reval_episodes=args.reval_episodes)
+            reval_vals, reval_episodes=args.reval_episodes,
+            reval_stds=(rm["eval_return_std"]
+                        if reval_vals is not None else None))
         sel_val = pop_summary.get("selected_reval",
                                   pop_summary["selected_training_eval"])
         print(f"population: selected member {pop_summary['selected_member']}"
