@@ -41,17 +41,20 @@ def test_strict_protocol_clears_1200(seed):
 
 @pytest.mark.parametrize("seed", SEEDS)
 def test_selection_record_is_two_stage(seed):
-    """Selection was the 512-episode fresh re-eval over the full pop x k
-    snapshot archive (not the noisy in-training argmax), and the recorded
+    """The committed policy came from the full pipeline: a 32-member
+    stage-1 population, then a 16-member polish population warm-started
+    from its winner, each selected by a 512-episode fresh re-eval over
+    the snapshot archive (not the noisy in-training argmax); the recorded
     re-eval value is consistent with the strict result."""
     with open(os.path.join(ART, f"pop32_s{seed}_population.json")) as f:
         p = json.load(f)
     with open(os.path.join(ART, f"pop32_s{seed}_strict.json")) as f:
         s = json.load(f)
-    assert p["population"] == 32
+    assert p["stage1"]["population"] == 32
+    assert p["stage1"]["master_seed"] == seed
+    assert p["population"] == 16          # the polish stage's record
     assert p["selected_by"] == "final_reval"
     assert p["reval_episodes"] >= 256
-    assert p["master_seed"] == seed
     # fresh-episode re-eval and the fixed strict set agree within noise
     assert abs(p["selected_reval"] - s["mean_reward"]) < 60.0
 
