@@ -16,7 +16,8 @@ import bench
 
 
 def test_train_main_smoke(capsys):
-    args = argparse.Namespace(train_envs=64, train_steps=16, fused="on")
+    args = argparse.Namespace(train_envs=64, train_steps=16, fused="on",
+                              train_minibatch=0)
     assert bench.train_main(args) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["unit"] == "env-steps/s"
