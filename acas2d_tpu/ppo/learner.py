@@ -425,16 +425,20 @@ def ppo_update(model: ActorCritic, tx: optax.GradientTransformation,
 # ------------------------------------------------------------- train step
 
 def make_train_step(model: ActorCritic, cfg: PPOConfig,
-                    env_params: EnvParams, mesh=None) -> Callable:
+                    env_params: EnvParams, mesh=None,
+                    fused_grads: Callable = None) -> Callable:
     """Returns jit-able train_step(TrainState) -> (TrainState, metrics):
     one full PPO iteration (rollout + GAE + epochs of updates) on device.
 
     `mesh` is only consulted by the fused Pallas paths (rollout and update
     kernels need an explicit shard_map); the XLA paths shard transparently
-    through jit."""
+    through jit.  `fused_grads` overrides the built-in fused-update
+    gradient callable (population.make_population_step injects a
+    vmap-compatible kernel partial that skips the shard_map plumbing)."""
     tx = make_optimizer(cfg)
     # built once here (also fails fast at build time, not first call)
-    fused_grads = make_fused_grads_fn(cfg, mesh) if cfg.fused_update else None
+    if cfg.fused_update and fused_grads is None:
+        fused_grads = make_fused_grads_fn(cfg, mesh)
     if cfg.fused_rollout:
         rollout_fn = functools.partial(collect_rollout_fused, mesh=mesh)
     else:

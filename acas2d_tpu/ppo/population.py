@@ -37,10 +37,19 @@ def init_population(model: ActorCritic, cfg: PPOConfig,
                     dtype=jnp.float32) -> learner.TrainState:
     """TrainState with a leading (pop,) axis on every leaf; member i's
     leaves equal a solo `init_train_state(PRNGKey(cfg.seed + i), ...)`."""
-    assert not (cfg.fused_rollout or cfg.fused_update), (
-        "population training uses the XLA paths (the Pallas kernels are "
-        "per-device shard_map programs and do not compose with the "
-        "population vmap)")
+    assert not cfg.fused_rollout, (
+        "population training collects rollouts with the XLA path (the "
+        "Pallas rollout kernel is a per-device shard_map program and does "
+        "not compose with the population vmap); cfg.fused_update IS "
+        "supported — vmap extends the update kernel's grid over members")
+    if cfg.fused_update:
+        # the vmapped kernel is not shard_mapped: single accelerator only
+        # (virtual multi-device CPU backends run the interpreter on one
+        # device and are fine for tests)
+        assert (jax.device_count() == 1
+                or jax.default_backend() == "cpu"), (
+            "population + fused_update is single-accelerator; drop "
+            "fused_update for multi-chip population runs")
     keys = jnp.stack([jax.random.PRNGKey(cfg.seed + i) for i in range(pop)])
 
     obs_dim = env_params.obs_dim
@@ -63,8 +72,30 @@ def init_population(model: ActorCritic, cfg: PPOConfig,
 def make_population_step(model: ActorCritic, cfg: PPOConfig,
                          env_params: EnvParams) -> Callable:
     """vmap of the full PPO train_step over the population axis:
-    (TrainState[P]) -> (TrainState[P], metrics[P])."""
-    return jax.vmap(learner.make_train_step(model, cfg, env_params))
+    (TrainState[P]) -> (TrainState[P], metrics[P]).
+
+    With cfg.fused_update, the minibatch gradients run in the fused
+    fwd+bwd Pallas kernel and `vmap` extends its grid with the member
+    dimension — measured 2.55x faster than the vmapped XLA update on v5e
+    (140 vs 358 ms per 16-member update), whose batched small-weight
+    GEMMs are DMA-latency-bound (docs/PERFORMANCE.md 'Population
+    training throughput')."""
+    import functools
+    fused_grads = None
+    if cfg.fused_update:
+        from acas2d_tpu.ops import pallas_update
+        assert pallas_update.supported(cfg.minibatch_size), (
+            f"fused_update needs minibatch_size % 128 == 0, got "
+            f"{cfg.minibatch_size}")
+        fused_grads = functools.partial(
+            pallas_update.ppo_minibatch_grads,
+            normalize_advantage=cfg.normalize_advantage,
+            clip_range=cfg.clip_range, vf_coef=cfg.vf_coef,
+            ent_coef=cfg.ent_coef,
+            interpret=jax.default_backend() != "tpu",
+            bf16=cfg.fused_update_bf16, max_chunk=cfg.fused_update_chunk)
+    return jax.vmap(learner.make_train_step(model, cfg, env_params,
+                                            fused_grads=fused_grads))
 
 
 def make_population_loop(model: ActorCritic, cfg: PPOConfig,

@@ -3,27 +3,30 @@
 #
 #   bash scripts/population_pipeline.sh <master_seed> [out_prefix]
 #
-# Stage 1: 32 member policies trained in ONE vmapped device program
-#          (268M env-steps each, ~12 min on one v5e), per-member top-k
-#          snapshot archives, risk-adjusted 512-episode re-eval selection.
+# Stage 1: 32 member policies trained in ONE vmapped device program with
+#          minibatch grads in the fused Pallas kernel (268M env-steps
+#          each at 33.4M aggregate env-steps/s — ~4.7 min on one v5e),
+#          per-member top-k snapshot archives, risk-adjusted 512-episode
+#          re-eval selection.
 # Stage 2: 16-member polish population warm-started from the stage-1
-#          winner (67M steps at lr 1e-4, ~2 min), same selection.
+#          winner (67M steps at lr 1e-4, ~0.8 min), same selection.
 # Then the strict 100-episode exact-protocol eval of the final policy.
 #
 # Committed evidence (artifacts/population/, pinned by
-# tests/test_population_artifacts.py): master seeds 701/801/901 ->
-# 1209.20 / 1208.81 / 1203.75, 100/100 goals each (reference's own run:
-# 1198.22 final, 1226.55 best, over 10-episode evals).
+# tests/test_population_artifacts.py): four fresh master seeds
+# 701/801/901 (XLA-update pipeline) and 1101 (this fused pipeline) ->
+# 1209.20 / 1208.81 / 1203.75 / 1223.11, 100/100 goals each (reference's
+# own run: 1198.22 final, 1226.55 best, over 10-episode evals).
 set -euo pipefail
 S=${1:?usage: population_pipeline.sh <master_seed> [out_prefix]}
 PREFIX=${2:-pop_pipeline}
 
-python train.py --preset tpu --anneal-lr --population 32 \
+python train.py --preset tpu --anneal-lr --population 32 --fused-update \
   --total-steps 268435456 --checkpoint-every 67108864 \
   --eval-episodes 32 --reval-episodes 512 \
   --seed "$S" --run-name "${PREFIX}_s${S}_stage1"
 
-python train.py --preset tpu --anneal-lr --population 16 \
+python train.py --preset tpu --anneal-lr --population 16 --fused-update \
   --init-params-npz "runs/ppo/${PREFIX}_s${S}_stage1/selected_best.npz" \
   --total-steps 67108864 --lr 1e-4 --checkpoint-every 67108864 \
   --eval-episodes 32 --reval-episodes 512 \

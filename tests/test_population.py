@@ -191,6 +191,32 @@ def test_train_population_driver(tmp_path):
     assert summ["population_selection"]["selected_member"] == s["selected_member"]
 
 
+def test_population_fused_update_matches_xla():
+    """cfg.fused_update in population mode: vmap extends the fused
+    fwd+bwd kernel's grid over members (interpret mode on CPU); a full
+    vmapped train_step must track the XLA-update vmapped step to f32
+    rounding — same rollout/shuffle RNG, only the minibatch-gradient
+    path differs."""
+    cfg_x = _tiny_cfg(n_envs=8, n_steps=32, minibatch_size=128,
+                      total_timesteps=8 * 32)
+    import dataclasses
+    cfg_f = dataclasses.replace(cfg_x, fused_update=True)
+    model = ActorCritic()
+    pop = 2
+
+    st = population.init_population(model, cfg_x, P, pop)
+    st_x, m_x = jax.jit(population.make_population_step(model, cfg_x, P))(st)
+    st_f, m_f = jax.jit(population.make_population_step(model, cfg_f, P))(st)
+
+    assert m_f["loss"].shape == (pop,)
+    np.testing.assert_allclose(np.asarray(m_f["loss"]),
+                               np.asarray(m_x["loss"]), rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(st_x.params),
+                    jax.tree.leaves(st_f.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)
+
+
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_population_axis_shards_over_mesh():
     """Population leaves shard member-wise over the ('env',) mesh (fully
