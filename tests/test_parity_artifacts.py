@@ -80,6 +80,8 @@ def test_curve_comparable_to_reference_npz():
     ("ppo_ref_s8_best.npz", 1100.0, 0.9),
     # the 8-env variant's robust endpoint (measured 1233, 100%)
     ("ppo_env8_s8_best.npz", 1150.0, 0.97),
+    # round-4 best: flagship + 47s polish population (1252.72 strict)
+    ("ppo_tpu_e_polished_best.npz", 1180.0, 0.97),
 ])
 def test_params_artifact_reproduces_return(name, min_ret, min_goal):
     """Shipped policies achieve their claimed mean greedy eval return and
