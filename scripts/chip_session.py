@@ -59,18 +59,21 @@ def main() -> int:
     except Exception as e:
         _write("check.json", {"error": f"{type(e).__name__}: {e}"})
 
-    # ---- 2. end-to-end training bench (all variants)
+    # ---- 2. end-to-end training bench: the SHIPPED preset shape (2048
+    #         envs — what produces the committed policies) plus the 4096
+    #         best-case for continuity with earlier rounds
     import bench
     devs = jax.devices()
     rows = {}
-    for label, fr, fu, lk in [("xla", False, False, 1),
-                              ("fused_rollout", True, False, 1),
-                              ("fused_rollout+loop32", True, False, 32),
-                              ("fused_rollout+update+loop32", True, True, 32),
-                              ("fused_rollout+loop64", True, False, 64)]:
+    for label, envs, fr, fu, lk in [
+            ("preset2048_xla", 2048, False, False, 1),
+            ("preset2048_fused_rollout+loop32", 2048, True, False, 32),
+            ("preset2048_fused_rollout+update+loop32", 2048, True, True, 32),
+            ("best4096_fused_rollout+loop32", 4096, True, False, 32),
+            ("best4096_fused_rollout+loop64", 4096, True, False, 64)]:
         try:
             rows[label] = round(bench.measure_train_at(
-                devs, 4096, 128, fused=fr, fused_update=fu, loop_k=lk), 1)
+                devs, envs, 128, fused=fr, fused_update=fu, loop_k=lk), 1)
         except Exception as e:
             rows[label] = f"unavailable ({type(e).__name__}: {e})"
         _write("train.json", rows)
