@@ -42,14 +42,15 @@ def init_population(model: ActorCritic, cfg: PPOConfig,
         "Pallas rollout kernel is a per-device shard_map program and does "
         "not compose with the population vmap); cfg.fused_update IS "
         "supported — vmap extends the update kernel's grid over members")
-    if cfg.fused_update:
-        # the vmapped kernel is not shard_mapped: single accelerator only
-        # (virtual multi-device CPU backends run the interpreter on one
-        # device and are fine for tests)
-        assert (jax.device_count() == 1
-                or jax.default_backend() == "cpu"), (
-            "population + fused_update is single-accelerator; drop "
-            "fused_update for multi-chip population runs")
+    if cfg.fused_update and jax.device_count() > 1:
+        # multi-accelerator runs must shard_map the vmapped kernel over
+        # the member axis (pass mesh= to make_population_step — train.py
+        # does when the population shards); CPU backends interpret on one
+        # device and are fine either way
+        assert pop % jax.device_count() == 0 or (
+            jax.default_backend() == "cpu"), (
+            f"population {pop} not divisible by {jax.device_count()} "
+            f"devices (fused_update shard_maps members across chips)")
     keys = jnp.stack([jax.random.PRNGKey(cfg.seed + i) for i in range(pop)])
 
     obs_dim = env_params.obs_dim
@@ -70,7 +71,7 @@ def init_population(model: ActorCritic, cfg: PPOConfig,
 
 
 def make_population_step(model: ActorCritic, cfg: PPOConfig,
-                         env_params: EnvParams) -> Callable:
+                         env_params: EnvParams, mesh=None) -> Callable:
     """vmap of the full PPO train_step over the population axis:
     (TrainState[P]) -> (TrainState[P], metrics[P]).
 
@@ -79,7 +80,14 @@ def make_population_step(model: ActorCritic, cfg: PPOConfig,
     dimension — measured 2.55x faster than the vmapped XLA update on v5e
     (140 vs 358 ms per 16-member update), whose batched small-weight
     GEMMs are DMA-latency-bound (docs/PERFORMANCE.md 'Population
-    training throughput')."""
+    training throughput').
+
+    With `mesh` given (fused_update on a multi-device backend), the
+    vmapped step runs under shard_map over the member axis: each device
+    trains its local P/n_devices members with its own kernel grid — zero
+    collectives (an un-shard_mapped pallas_call would gather everything
+    onto one device).  The XLA path needs no mesh; it shards
+    transparently through jit."""
     import functools
     fused_grads = None
     if cfg.fused_update:
@@ -94,16 +102,23 @@ def make_population_step(model: ActorCritic, cfg: PPOConfig,
             ent_coef=cfg.ent_coef,
             interpret=jax.default_backend() != "tpu",
             bf16=cfg.fused_update_bf16, max_chunk=cfg.fused_update_chunk)
-    return jax.vmap(learner.make_train_step(model, cfg, env_params,
+    step = jax.vmap(learner.make_train_step(model, cfg, env_params,
                                             fused_grads=fused_grads))
+    if mesh is not None and cfg.fused_update:
+        from jax.sharding import PartitionSpec as PS
+        axis = mesh.axis_names[0]
+        step = learner._shard_map(step, mesh,
+                                  in_specs=PS(axis),
+                                  out_specs=(PS(axis), PS(axis)))
+    return step
 
 
 def make_population_loop(model: ActorCritic, cfg: PPOConfig,
                          env_params: EnvParams,
-                         iters_per_call: int) -> Callable:
+                         iters_per_call: int, mesh=None) -> Callable:
     """K iterations of the vmapped step fused into one device program;
     metrics leaves come back (K, P, ...)."""
-    step = make_population_step(model, cfg, env_params)
+    step = make_population_step(model, cfg, env_params, mesh=mesh)
 
     def loop(state):
         return jax.lax.scan(lambda s, _: step(s), state, None,

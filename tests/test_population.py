@@ -218,6 +218,37 @@ def test_population_fused_update_matches_xla():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_population_fused_update_shard_mapped_over_mesh():
+    """population + fused_update on a multi-device mesh: the vmapped
+    kernel step runs under shard_map over the member axis (each device
+    trains its local members, zero collectives) and matches the unsharded
+    vmapped step."""
+    import dataclasses
+    from acas2d_tpu.parallel import mesh as mesh_lib
+
+    cfg = _tiny_cfg(n_envs=8, n_steps=32, minibatch_size=128,
+                    total_timesteps=8 * 32, fused_update=True)
+    model = ActorCritic()
+    pop = 8
+    st = population.init_population(model, cfg, P, pop)
+
+    st_ref, m_ref = jax.jit(
+        population.make_population_step(model, cfg, P))(st)
+
+    mesh = mesh_lib.make_mesh()
+    st_sh = mesh_lib.shard_env_pytree(st, mesh)
+    st_out, m_out = jax.jit(population.make_population_step(
+        model, cfg, P, mesh=mesh))(st_sh)
+
+    np.testing.assert_allclose(np.asarray(m_out["loss"]),
+                               np.asarray(m_ref["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(st_ref.params),
+                    jax.tree.leaves(st_out.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_population_axis_shards_over_mesh():
     """Population leaves shard member-wise over the ('env',) mesh (fully
     independent members, zero collectives) and a vmapped step executes."""

@@ -345,14 +345,18 @@ def main(argv=None):
         args.iters_per_call, args.preset, jax.default_backend(), cfg)
     if pop:
         # vmapped-over-members step/loop; metrics leaves carry a trailing
-        # member axis ((P,) per iteration, (K, P) when loop-fused)
+        # member axis ((P,) per iteration, (K, P) when loop-fused).  With
+        # fused_update on a sharded multi-device run, the vmapped kernel
+        # shard_maps over the member axis (one kernel grid per device).
         from acas2d_tpu.ppo import population
+        pop_mesh = mesh if (cfg.fused_update and sharded) else None
         if iters_per_call > 1:
             train_fn = jax.jit(population.make_population_loop(
-                model, cfg, env_params, iters_per_call), donate_argnums=(0,))
+                model, cfg, env_params, iters_per_call, mesh=pop_mesh),
+                donate_argnums=(0,))
         else:
             train_fn = jax.jit(population.make_population_step(
-                model, cfg, env_params), donate_argnums=(0,))
+                model, cfg, env_params, mesh=pop_mesh), donate_argnums=(0,))
     elif iters_per_call > 1:
         # K PPO iterations fused into ONE device program (lax.scan over
         # train_step): one host dispatch + one metrics read-back per K
