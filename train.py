@@ -79,8 +79,12 @@ def parse_args(argv=None):
                         "greedy-eval record at the end — the antidote to "
                         "PPO's ~1-in-3 seed lottery at the flagship shape "
                         "(ppo/population.py). Writes selected_best.npz + "
-                        "population.json into the run dir. XLA paths only; "
-                        "multi-device runs shard members across chips")
+                        "population.json into the run dir. Composes with "
+                        "--fused-update (vmap extends the update kernel's "
+                        "grid over members; 3x the XLA update) and "
+                        "--init-params-npz (polish stage); --fused-rollout "
+                        "is unsupported. Multi-device runs shard members "
+                        "across chips")
     p.add_argument("--reval-episodes", type=int, default=256,
                    help="population mode: episodes of the fresh end-of-run "
                         "re-eval of every member's best snapshot that "
