@@ -14,8 +14,8 @@
 #
 # Committed evidence (artifacts/population/, pinned by
 # tests/test_population_artifacts.py): four fresh master seeds
-# 701/801/901 (XLA-update pipeline) and 1101 (this fused pipeline) ->
-# 1209.20 / 1208.81 / 1203.75 / 1223.11, 100/100 goals each (reference's
+# 701/801/901 (XLA-update pipeline) and 1101/1201 (this fused pipeline) ->
+# 1209.20 / 1208.81 / 1203.75 / 1223.11 / 1222.45, 100/100 goals each (reference's
 # own run: 1198.22 final, 1226.55 best, over 10-episode evals).
 set -euo pipefail
 S=${1:?usage: population_pipeline.sh <master_seed> [out_prefix]}

@@ -22,10 +22,11 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ART = os.path.join(REPO, "artifacts", "population")
-# 701/801/901: XLA-update pipeline (~14 min/seed); 1101: the fused-update
-# pipeline (33.4M agg env-steps/s, ~6 min/seed) — four fresh master
-# seeds, all >= 1200 strict (1209.2 / 1208.8 / 1203.8 / 1223.1)
-SEEDS = (701, 801, 901, 1101)
+# 701/801/901: XLA-update pipeline (~14 min/seed); 1101/1201: the
+# fused-update pipeline (33.4M agg env-steps/s, ~6 min/seed) — five
+# fresh master seeds, all >= 1200 strict
+# (1209.2 / 1208.8 / 1203.8 / 1223.1 / 1222.5)
+SEEDS = (701, 801, 901, 1101, 1201)
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(ART), reason="population artifacts not present")
