@@ -21,18 +21,22 @@ set -euo pipefail
 S=${1:?usage: population_pipeline.sh <master_seed> [out_prefix]}
 PREFIX=${2:-pop_pipeline}
 
-python train.py --preset tpu --anneal-lr --population 32 --fused-update \
+# the tunneled accelerator grant occasionally fails a process at launch
+# (observed once across ~20 round-4 runs); one retry per stage absorbs it
+retry() { "$@" || { echo "[pipeline] stage failed; retrying once" >&2; "$@"; }; }
+
+retry python train.py --preset tpu --anneal-lr --population 32 --fused-update \
   --total-steps 268435456 --checkpoint-every 67108864 \
   --eval-episodes 32 --reval-episodes 512 \
   --seed "$S" --run-name "${PREFIX}_s${S}_stage1"
 
-python train.py --preset tpu --anneal-lr --population 16 --fused-update \
+retry python train.py --preset tpu --anneal-lr --population 16 --fused-update \
   --init-params-npz "runs/ppo/${PREFIX}_s${S}_stage1/selected_best.npz" \
   --total-steps 67108864 --lr 1e-4 --checkpoint-every 67108864 \
   --eval-episodes 32 --reval-episodes 512 \
   --seed "$((S + 50))" --run-name "${PREFIX}_s${S}_polish"
 
-python eval.py \
+retry python eval.py \
   --params-npz "runs/ppo/${PREFIX}_s${S}_polish/selected_best.npz" \
   --exact --episodes 100 \
   --out "runs/ppo/${PREFIX}_s${S}_polish/eval_100_exact.csv"
