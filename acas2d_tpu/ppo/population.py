@@ -334,9 +334,14 @@ class PopulationTracker:
                             else "best_training_eval"),
             "selected_training_eval": float(self.snap_vals[i, j]),
             "selected_at_step": int(self.snap_steps[i, j]),
-            "best_evals": [round(float(v), 2) for v in self.best_vals],
+            "best_evals": [round(float(v), 2) if np.isfinite(v) else None
+                           for v in self.best_vals],
             "best_at_steps": [int(s) for s in self.best_steps],
-            "final_evals": [round(float(v), 2) for v in self.final_vals],
+            # final_vals stays NaN when a restored tracker finalizes before
+            # any new eval fires; bare NaN tokens are not strict JSON, so
+            # sanitize to null
+            "final_evals": [round(float(v), 2) if np.isfinite(v) else None
+                            for v in self.final_vals],
             "members_over_1200": int((self.best_vals >= 1200.0).sum()),
         }
         if reval_vals is not None:

@@ -13,7 +13,7 @@
 # Then the strict 100-episode exact-protocol eval of the final policy.
 #
 # Committed evidence (artifacts/population/, pinned by
-# tests/test_population_artifacts.py): four fresh master seeds
+# tests/test_population_artifacts.py): five fresh master seeds
 # 701/801/901 (XLA-update pipeline) and 1101/1201 (this fused pipeline) ->
 # 1209.20 / 1208.81 / 1203.75 / 1223.11 / 1222.45, 100/100 goals each (reference's
 # own run: 1198.22 final, 1226.55 best, over 10-episode evals).
@@ -35,6 +35,13 @@ retry python train.py --preset tpu --anneal-lr --population 16 --fused-update \
   --total-steps 67108864 --lr 1e-4 --checkpoint-every 67108864 \
   --eval-episodes 32 --reval-episodes 512 \
   --seed "$((S + 50))" --run-name "${PREFIX}_s${S}_polish"
+
+# pipeline-level record: fold the stage-1 selection summary into the polish
+# population.json (the committed-artifact schema, tests/test_population_artifacts.py)
+python scripts/population_merge.py \
+  "runs/ppo/${PREFIX}_s${S}_stage1" "runs/ppo/${PREFIX}_s${S}_polish" \
+  stage1_population32_fused_update reval512_risk_adjusted \
+  polish_population16_fused
 
 retry python eval.py \
   --params-npz "runs/ppo/${PREFIX}_s${S}_polish/selected_best.npz" \

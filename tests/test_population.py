@@ -142,6 +142,58 @@ def test_tracker_selection_and_persistence(tmp_path):
     assert s["selected_reval_std"] == 60.0
 
 
+def test_finalize_before_any_eval_is_strict_json(tmp_path):
+    """A tracker restored from population_best.npz that finalizes before a
+    new eval fires has NaN final_vals; the written population.json must
+    stay STRICT json (NaN -> null), or external parsers reject it
+    (advisor r4)."""
+    import json
+    run = str(tmp_path)
+    params = {"w": np.ones((2, 2), np.float32)}
+    t = population.PopulationTracker(run, 2, seed=7, k=2)
+    t.update(10, [3.0, 4.0], params)
+    # fresh tracker restored from disk: final_vals is NaN until an eval
+    t2 = population.PopulationTracker(run, 2, seed=7, k=2)
+    s = t2.finalize()
+    assert all(v is None for v in s["final_evals"])
+    with open(os.path.join(run, "population.json")) as f:
+        text = f.read()
+    assert "NaN" not in text
+    json.loads(text)                     # strict parse succeeds
+
+
+def test_population_merge_writes_pinned_schema(tmp_path):
+    """scripts/population_merge.py folds the stage-1 record into the polish
+    population.json — producing exactly the committed-artifact schema that
+    tests/test_population_artifacts.py pins (stage1 + pipeline keys)."""
+    import json
+    import subprocess
+    import sys as _sys
+    s1 = tmp_path / "stage1"
+    s2 = tmp_path / "polish"
+    s1.mkdir(); s2.mkdir()
+    with open(s1 / "population.json", "w") as f:
+        json.dump({"population": 32, "master_seed": 1301,
+                   "selected_by": "final_reval"}, f)
+    with open(s2 / "population.json", "w") as f:
+        json.dump({"population": 16, "master_seed": 1351,
+                   "selected_by": "final_reval", "reval_episodes": 512,
+                   "selected_reval": 1210.0}, f)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts/population_merge.py"),
+         str(s1), str(s2), "stage1_population32_fused_update",
+         "reval512_risk_adjusted", "polish_population16_fused"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    with open(s2 / "population.json") as f:
+        merged = json.load(f)
+    assert merged["stage1"]["population"] == 32
+    assert merged["stage1"]["master_seed"] == 1301
+    assert merged["population"] == 16
+    assert merged["pipeline"][0].startswith("stage1_")
+
+
 def test_train_population_driver(tmp_path):
     """train.py --population end to end on tiny shapes: per-iteration
     aggregate rows, population eval rows with the member vector, and the

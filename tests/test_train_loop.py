@@ -119,6 +119,53 @@ def test_count_prior_evals_from_persisted_log(tmp_path):
     assert count_prior_evals(str(tmp_path / "gone"), 1024, cfg) == 5
 
 
+def test_count_prior_evals_dedupes_refired_rows(tmp_path):
+    """A crash-then-resume cycle re-fires evals past the restored checkpoint
+    and appends DUPLICATE rows at the same global_step; a second resume must
+    count distinct steps, not raw rows, or it over-fast-forwards the
+    Mersenne eval stream (advisor r4)."""
+    import json
+    from train import count_prior_evals
+
+    cfg = _tiny_cfg(eval_every_steps=256)
+    run = tmp_path / "run"
+    run.mkdir()
+    with open(run / "eval.jsonl", "w") as f:
+        for s in (256, 512, 512, 768, 768):   # 512/768 re-fired after resume
+            f.write(json.dumps({"global_step": s}) + "\n")
+    assert count_prior_evals(str(run), 768, cfg) == 3
+
+
+def test_eval_count_survives_deleted_eval_log(tmp_path):
+    """VERDICT r4 #7: the eval count is persisted with every checkpoint, so
+    a resume whose run dir lost eval.jsonl (partial copy) still
+    fast-forwards the exact-eval Mersenne stream by the TRUE number of
+    prior evals — not the cadence formula, which miscounts when one device
+    call spans several thresholds."""
+    from train import count_prior_evals
+    from acas2d_tpu.ppo.config import PPOConfig
+
+    out = str(tmp_path)
+    rc = train_main.main([
+        "--platform", "cpu", "--n-envs", "8", "--n-steps", "32",
+        "--total-steps", "1024", "--minibatch-size", "64",
+        "--n-epochs", "2",
+        "--eval-every", "256", "--checkpoint-every", "256",
+        "--run-name", "evc", "--out-dir", out])
+    assert rc == 0
+    run = os.path.join(out, "evc")
+    cfg = PPOConfig(n_envs=8, n_steps=32, eval_every_steps=256)
+    # 4 evals actually fired (steps 256..1024; the step-256 one covered
+    # thresholds 0 AND 256); the formula fallback would claim 5
+    n_true = count_prior_evals(run, 1024, cfg)
+    assert n_true == 4, n_true
+    os.remove(os.path.join(run, "eval.jsonl"))
+    assert count_prior_evals(run, 1024, cfg) == n_true
+    # checkpoints/eval_counts.json is the surviving record
+    assert os.path.exists(os.path.join(run, "checkpoints",
+                                       "eval_counts.json"))
+
+
 def test_resolve_iters_per_call_never_coarsens_eval_cadence():
     """The auto default must satisfy K * batch <= eval_every (evals fire at
     most once per train_fn call), for every preset shape."""

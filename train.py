@@ -168,18 +168,31 @@ def count_prior_evals(run_dir: str, restored_step: int,
     --exact-eval resume fast-forward (the Mersenne eval stream must skip
     exactly the episodes already consumed).
 
-    Counted from the persisted eval log (eval.jsonl rows with
-    global_step <= restored_step) — the thresholds that *actually fired* —
-    because the threshold-count formula undercounts when one device call
-    spans several eval thresholds (an explicit --iters-per-call with
-    K*batch > eval_every makes one eval consume multiple thresholds).
-    Rows logged past the restored checkpoint re-fire after resume and are
-    excluded.  Falls back to the cadence formula when no log survives."""
+    Preference order:
+      1. the eval count persisted alongside the checkpoint
+         (checkpoints/eval_counts.json, written at every save) — exact
+         even when the eval log is gone or carries duplicates;
+      2. DISTINCT global_step values in the persisted eval log with
+         global_step <= restored_step — the thresholds that *actually
+         fired*.  Distinct, not raw rows: a crash-then-resume cycle
+         re-fires evals past the restored checkpoint and appends duplicate
+         rows at the same global_step, which raw counting would double;
+      3. the cadence formula — which undercounts when one device call
+         spans several eval thresholds, so it is the last resort only."""
     if restored_step <= 0:
         return 0
+    counts_path = os.path.join(run_dir, "checkpoints", "eval_counts.json")
+    if os.path.exists(counts_path):
+        try:
+            with open(counts_path) as f:
+                counts = json.load(f)
+            if str(restored_step) in counts:
+                return int(counts[str(restored_step)])
+        except (ValueError, OSError):
+            pass
     path = os.path.join(run_dir, "eval.jsonl")
     if os.path.exists(path):
-        n = 0
+        steps = set()
         with open(path) as f:
             for line in f:
                 try:
@@ -187,11 +200,29 @@ def count_prior_evals(run_dir: str, restored_step: int,
                 except ValueError:
                     continue
                 if int(row.get("global_step", 0)) <= restored_step:
-                    n += 1
-        return n
-    # no surviving log: thresholds 0, E, 2E, ... fire once each and the
+                    steps.add(int(row.get("global_step", 0)))
+        return len(steps)
+    # no surviving record: thresholds 0, E, 2E, ... fire once each and the
     # threshold-0 eval fires on the first iteration
     return restored_step // cfg.eval_every_steps + 1
+
+
+def record_eval_count(run_dir: str, step: int, evals_done: int) -> None:
+    """Persist evals-performed at a checkpointed step so --exact-eval
+    resume fast-forwards the Mersenne stream exactly even when eval.jsonl
+    is gone (deleted run dir, partial copy) — see count_prior_evals."""
+    path = os.path.join(run_dir, "checkpoints", "eval_counts.json")
+    counts = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                counts = json.load(f)
+        except (ValueError, OSError):
+            counts = {}
+    counts[str(step)] = int(evals_done)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(counts, f)
 
 
 def build_config(args) -> PPOConfig:
@@ -374,16 +405,18 @@ def main(argv=None):
         train_fn = jax.jit(learner.make_train_step(model, cfg, env_params,
                                                    mesh=train_mesh),
                            donate_argnums=(0,))
+    # Evals performed before this process (0 for a fresh run) — advanced at
+    # every enqueue and persisted at every checkpoint (record_eval_count) so
+    # an --exact-eval resume fast-forwards the Mersenne stream exactly.
+    evals_done = count_prior_evals(
+        f"{args.out_dir}/{run_name}", gstep_of(state), cfg)
     if args.exact_eval:
         # stateful host-side (the Mersenne stream advances per call); jits
         # its own device program internally.  On resume, fast-forward the
-        # stream past the episodes the previous process consumed (counted
-        # from the persisted eval log — see count_prior_evals).
-        _prior_evals = count_prior_evals(
-            f"{args.out_dir}/{run_name}", gstep_of(state), cfg)
+        # stream past the episodes the previous process consumed.
         eval_fn = learner.make_exact_eval_fn(
             model, cfg, env_params, dtype,
-            skip_episodes=_prior_evals * cfg.eval_episodes)
+            skip_episodes=evals_done * cfg.eval_episodes)
     elif pop:
         from acas2d_tpu.ppo import population
         eval_fn = jax.jit(population.make_population_eval(
@@ -518,11 +551,14 @@ def main(argv=None):
                     # copy survives for deferred best-tracking
                     est = copy_state(state)
                 pending_eval = (gstep, em, est)
+                evals_done += 1
                 while next_eval <= gstep:
                     next_eval += cfg.eval_every_steps
             if gstep >= next_ckpt:
                 with timers("checkpoint"):
                     ckpt.save(gstep, state)
+                    record_eval_count(f"{args.out_dir}/{run_name}", gstep,
+                                      evals_done)
                 while next_ckpt <= gstep:
                     next_ckpt += args.checkpoint_every
     except KeyboardInterrupt:
@@ -532,9 +568,9 @@ def main(argv=None):
     resolve_pending()
     with timers("checkpoint"):
         ckpt.save(gstep_of(state), state)
+        record_eval_count(f"{args.out_dir}/{run_name}", gstep_of(state),
+                          evals_done)
         ckpt.wait()
-    total = time.time() - t_start
-    phases = timers.report()
     if args.profile:
         mem = profiling.device_memory_stats()
         if mem:
@@ -571,6 +607,11 @@ def main(argv=None):
               f"(training eval {pop_summary['selected_training_eval']:.2f} "
               f"at step {pop_summary['selected_at_step']})",
               file=sys.stderr)
+    # total/phases capture AFTER the population final-reval block: its
+    # seconds of device time belong in summary.json's accounting ('a slow
+    # run explains itself' — the reval runs under timers('final_reval'))
+    total = time.time() - t_start
+    phases = timers.report()
     # per-member steps; population aggregate throughput = pop * these
     steps_done = gstep_of(state) - start_step
     first_call_steps = (iters_per_call * steps_per_iter
