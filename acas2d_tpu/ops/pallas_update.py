@@ -194,6 +194,73 @@ def _ppo_grad_kernel(log_std_ref,
 _pack_update_params = pack_params_two_towers
 
 
+# ------------------------------------------------- packed parameter tree
+#
+# The packed-parameter update path (learner.ppo_update packed=True) keeps
+# params AND Adam moments in this 7-leaf kernel layout for the whole
+# epochs x minibatches loop: one pack + one unpack per train_step instead
+# of six scatters per grad step, and Adam runs on a few big contiguous
+# tensors instead of ~11 small per-tower leaves — the per-member small-tile
+# DMA pathology the population xplane trace exposed
+# (docs/PERFORMANCE.md 'Population training throughput').
+#
+# Equivalence to the flax-tree update is exact by construction: the
+# off-diagonal packing artifacts are masked to zero in the gradients, so
+# Adam's elementwise moments stay zero there and the zero blocks never
+# drift; clip_by_global_norm sees the same global norm (zeros contribute
+# nothing; log_std is a leaf of the packed tree too).
+
+def _np_masks():
+    import numpy as np
+    w2 = np.zeros((128, 128), np.float32)
+    w2[:64, :64] = 1.0
+    w2[64:, 64:] = 1.0
+    w3 = np.zeros((8, 128), np.float32)
+    w3[0, :64] = 1.0
+    w3[1, 64:] = 1.0
+    b3 = np.zeros((8, 1), np.float32)
+    b3[0] = b3[1] = 1.0
+    return w2, w3, b3
+
+
+_MASK_W2, _MASK_W3, _MASK_B3 = _np_masks()
+
+
+def pack_params_tree(params) -> Dict[str, jax.Array]:
+    """Flax ActorCritic params -> the 7-leaf packed tree (kernel layout +
+    log_std)."""
+    w1c, b1c, w2c, b2c, w3c, b3c = pack_params_two_towers(params)
+    return {"w1c": w1c, "b1c": b1c, "w2c": w2c, "b2c": b2c,
+            "w3c": w3c, "b3c": b3c,
+            "log_std": params["params"]["log_std"].astype(jnp.float32)}
+
+
+def _unpack_to_flax(w1c, b1c, w2c, b2c, w3c, b3c, log_std, ref_params):
+    """Kernel-layout blocks -> flax tree (shapes/dtypes of ref_params);
+    off-diagonal packing artifacts are dropped by the slicing."""
+    def unpack(dk, db):
+        return {"kernel": dk.T, "bias": db.reshape(-1)}
+
+    ref = ref_params["params"]
+    tree = {"params": {
+        "pi_tower": {"dense_0": unpack(w1c[:64], b1c[:64]),
+                     "dense_1": unpack(w2c[:64, :64], b2c[:64])},
+        "vf_tower": {"dense_0": unpack(w1c[64:], b1c[64:]),
+                     "dense_1": unpack(w2c[64:, 64:], b2c[64:])},
+        "action_head": unpack(w3c[0:1, :64], b3c[0:1]),
+        "value_head": unpack(w3c[1:2, 64:], b3c[1:2]),
+        "log_std": log_std.reshape(ref["log_std"].shape),
+    }}
+    return jax.tree.map(lambda g, p: g.astype(p.dtype), tree, ref_params)
+
+
+def unpack_params_tree(packed: Dict[str, jax.Array], ref_params):
+    """Packed 7-leaf tree -> flax tree shaped/dtyped like ref_params."""
+    return _unpack_to_flax(packed["w1c"], packed["b1c"], packed["w2c"],
+                           packed["b2c"], packed["w3c"], packed["b3c"],
+                           packed["log_std"], ref_params)
+
+
 def _grad_out_shapes():
     f32 = jnp.float32
     s = jax.ShapeDtypeStruct

@@ -47,12 +47,104 @@ def parse_args(argv=None):
                         "rendered episodes (the reference renders live "
                         "during eval, testing_main.py:80; here frames are "
                         "written offline, never on the device step path)")
-    p.add_argument("--render-episodes", default="1",
+    p.add_argument("--view", action="store_true",
+                   help="live on-screen replay of the eval episodes: every "
+                        "step rendered sprite-faithfully into one "
+                        "interactive window at the reference's FPS cap "
+                        "(testing_main.py:80 + game.py:316-431; pacing = "
+                        "clock.tick(FPS), environment.py:31).  Episodes "
+                        "roll on device first, then replay — the render "
+                        "path never touches the device step loop.  Uses "
+                        "the same frame source as --render-every")
+    p.add_argument("--view-fps", type=float, default=100.0,
+                   help="--view frame-rate cap (reference: FPS=100, "
+                        "settings.py:17)")
+    p.add_argument("--render-episodes", default=None,
                    help="comma-separated 1-based episode numbers to render "
-                        "(with --render-every)")
+                        "(with --render-every / --view; default: episode 1 "
+                        "for --render-every, ALL episodes for --view — the "
+                        "reference replays every eval episode)")
     p.add_argument("--render-dir", default=None,
                    help="frame output dir (default <run or .>/frames)")
     return p.parse_args(argv)
+
+
+def episode_frames(tel_b, n_traffic, tv_row, tpsi_row, params, every: int,
+                   episode: int):
+    """The ONE frame source shared by --render-every (PNG dump) and --view
+    (live replay): yields (t, RGBA frame) for every `every`-th step of one
+    completed episode, always including the final step.  Mirrors the
+    reference's per-step view() during eval (testing_main.py:80,
+    game.py:316-431)."""
+    import numpy as np
+    from acas2d_tpu.render import render_frame
+
+    done = np.asarray(tel_b.done)
+    done_idx = np.nonzero(done)[0]
+    k = int(done_idx[0]) + 1 if done_idx.size else len(done)
+    total = 0.0
+    trail = []
+    for t in range(k):
+        total += float(tel_b.reward[t])
+        trail.append((float(tel_b.px[t]), float(tel_b.py[t])))
+        if t % every and t != k - 1:
+            continue
+        yield t, render_frame(
+            tel_b.px[t], tel_b.py[t], tel_b.psi[t],
+            np.atleast_1d(tel_b.tx[t]), np.atleast_1d(tel_b.ty[t]),
+            n_traffic, params, trail=trail,
+            tv=tv_row, tpsi=tpsi_row,
+            a_lat=float(tel_b.a_lat[t]),
+            # steps counter as displayed live: observe() has run once at
+            # reset and once per step (game.py:197)
+            steps=t + 2, episode=episode, total_reward=total)
+
+
+def view_episodes(episode_frame_iters, fps: float = 100.0,
+                  caption: str = "ACAS-2D") -> int:
+    """Live replay window: one persistent interactive figure updated in
+    place (the pygame.display.update equivalent), paced to the reference's
+    FPS cap — draw, then sleep off the remainder of the 1/fps budget
+    (clock.tick semantics: a cap, not a guarantee).  Caption and (where
+    the backend allows) the compass window icon mirror game.py:14-15.
+    Returns the number of frames shown."""
+    import time
+
+    import matplotlib.pyplot as plt
+
+    plt.ion()
+    fig, ax = plt.subplots(figsize=(10, 6.25))
+    ax.set_axis_off()
+    try:
+        fig.canvas.manager.set_window_title(caption)
+    except Exception:
+        pass
+    try:    # TkAgg only: the reference's compass logo as the window icon
+        import tkinter
+        from acas2d_tpu.utils.reference import reference_path
+        icon = tkinter.PhotoImage(
+            file=reference_path("gym_ACAS2D", "png", "004-compass.png"))
+        fig.canvas.manager.window.iconphoto(False, icon)
+    except Exception:
+        pass
+    im = None
+    budget = 1.0 / max(fps, 1e-6)
+    shown = 0
+    for episode, frames in episode_frame_iters:
+        for t, frame in frames:
+            t0 = time.perf_counter()
+            if im is None:
+                im = ax.imshow(frame)
+            else:
+                im.set_data(frame)
+            fig.canvas.draw_idle()
+            fig.canvas.flush_events()
+            left = budget - (time.perf_counter() - t0)
+            if left > 0:
+                time.sleep(left)
+            shown += 1
+    plt.close(fig)
+    return shown
 
 
 def main(argv=None):
@@ -79,11 +171,16 @@ def main(argv=None):
     # validate render selection up front: a bad value must not discard a
     # completed eval (the CSV is written after the render block)
     render_eps = []
-    if args.render_every > 0:
+    if args.render_every > 0 or args.view:
+        # default: episode 1 for PNG dumps, ALL episodes for the live view
+        # (the reference replays every eval episode, testing_main.py:62-80)
+        spec = args.render_episodes or (
+            "1" if args.render_every > 0
+            else ",".join(str(i) for i in range(1, B + 1)))
         try:
-            render_eps = [int(e) for e in args.render_episodes.split(",")]
+            render_eps = [int(e) for e in spec.split(",")]
         except ValueError:
-            print(f"error: --render-episodes {args.render_episodes!r} is not "
+            print(f"error: --render-episodes {spec!r} is not "
                   "a comma-separated list of integers", file=sys.stderr)
             return 2
         bad = [e for e in render_eps if not 1 <= e <= B]
@@ -148,32 +245,16 @@ def main(argv=None):
               f"Total Reward = {rec['Total Reward']}")
 
     if args.render_every > 0:
-        from acas2d_tpu.render import render_frame
         frames_dir = args.render_dir or os.path.join(args.run or ".", "frames")
         for e in render_eps:
             b = e - 1
             tel_b = jax.tree.map(lambda x: np.asarray(x[b]), tel)
-            done_idx = np.nonzero(tel_b.done)[0]
-            k = int(done_idx[0]) + 1 if done_idx.size else T
-            total = 0.0
             ep_dir = os.path.join(frames_dir, f"episode_{e:03d}")
             os.makedirs(ep_dir, exist_ok=True)
-            trail = []
             n_frames = 0
-            for t in range(k):
-                total += float(tel_b.reward[t])
-                trail.append((float(tel_b.px[t]), float(tel_b.py[t])))
-                if t % args.render_every and t != k - 1:
-                    continue
-                frame = render_frame(
-                    tel_b.px[t], tel_b.py[t], tel_b.psi[t],
-                    np.atleast_1d(tel_b.tx[t]), np.atleast_1d(tel_b.ty[t]),
-                    int(nt[b]), P, trail=trail,
-                    tv=tv[b, :1], tpsi=tpsi[b, :1],
-                    a_lat=float(tel_b.a_lat[t]),
-                    # steps counter as displayed live: observe() has run
-                    # once at reset and once per step (game.py:197)
-                    steps=t + 2, episode=e, total_reward=total)
+            for t, frame in episode_frames(tel_b, int(nt[b]), tv[b, :1],
+                                           tpsi[b, :1], P,
+                                           args.render_every, e):
                 import matplotlib.image as mpimg
                 mpimg.imsave(os.path.join(ep_dir, f"step_{t:04d}.png"), frame)
                 n_frames += 1
@@ -193,6 +274,21 @@ def main(argv=None):
           f"mean steps {np.mean([e['Time Steps'] for e in episodes]):.2f}",
           file=sys.stderr)
     print(f"wrote {out}", file=sys.stderr)
+
+    if args.view:
+        # after the CSV: a closed window / Ctrl-C must not lose the eval
+        def _iters():
+            for e in render_eps:
+                b = e - 1
+                tel_b = jax.tree.map(lambda x: np.asarray(x[b]), tel)
+                yield e, episode_frames(tel_b, int(nt[b]), tv[b, :1],
+                                        tpsi[b, :1], P, 1, e)
+        try:
+            shown = view_episodes(_iters(), fps=args.view_fps)
+            print(f"replayed {len(render_eps)} episode(s), {shown} frames",
+                  file=sys.stderr)
+        except KeyboardInterrupt:
+            print("view interrupted", file=sys.stderr)
     return 0
 
 
