@@ -83,10 +83,15 @@ def fused_policy_rollout_kernel(
         obs_buf, act_buf, logp_buf, val_buf, rew_buf, done_buf,
         ep_ret_buf, ep_len_buf, outcome_buf, alato,
         *, K: int, p: EnvParams):
+    # grid is (members, env_blocks); the flattened program id keeps every
+    # (member, block) pair's RNG stream distinct and reduces to the old
+    # env-block id when members == 1 (the solo path's streams unchanged)
+    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    member = pl.program_id(0)
     lane = (jax.lax.broadcasted_iota(jnp.uint32, (8, 128), 0) * 128
             + jax.lax.broadcasted_iota(jnp.uint32, (8, 128), 1))
     rng_base = (seed_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-                + jnp.uint32(pl.program_id(0)) * jnp.uint32(0xC2B2AE35)
+                + jnp.uint32(pid) * jnp.uint32(0xC2B2AE35)
                 + lane * jnp.uint32(0x27D4EB2F))
     step_off = seed_ref[0, 1]
 
@@ -96,19 +101,22 @@ def fused_policy_rollout_kernel(
     gx = jnp.float32(p.goal_x)
     gy = jnp.float32(p.goal_y)
     inv_max_steps = jnp.float32(1.0 / p.max_steps)
-    log_std = jnp.minimum(jnp.maximum(log_std_ref[0, 0], -4.0), 2.0)
+    # log_std is SMEM (members, 1), dynamically indexed by the member id
+    log_std = jnp.minimum(jnp.maximum(log_std_ref[member, 0], -4.0), 2.0)
     sigma = jnp.exp(log_std)
     # log N(x; m, s) = -0.5*((x-m)/s)^2 - log_std - 0.5*log(2pi)
     logp_const = -log_std - jnp.float32(0.5 * math.log(2.0 * math.pi))
 
     bearing = goal_bearing(p)
 
-    w1c = w1c_ref[:]     # (128, 8)
-    b1c = b1c_ref[:]     # (128, 1)
-    w2c = w2c_ref[:]     # (128, 128) block-diagonal
-    b2c = b2c_ref[:]     # (128, 1)
-    w3c = w3c_ref[:]     # (8, 128); row 0 = action head, row 1 = value
-    b3c = b3c_ref[:]     # (8, 1)
+    # weight blocks carry a leading member-block dim of 1 (the index map
+    # selects this program's member row from the (members, ...) stack)
+    w1c = w1c_ref[0]     # (128, 8)
+    b1c = b1c_ref[0]     # (128, 1)
+    w2c = w2c_ref[0]     # (128, 128) block-diagonal
+    b2c = b2c_ref[0]     # (128, 1)
+    w3c = w3c_ref[0]     # (8, 128); row 0 = action head, row 1 = value
+    b3c = b3c_ref[0]     # (8, 1)
 
     def policy(M):
         """Feature-major MLP: M (8, E) -> (mean (1,E), value (1,E)).
@@ -300,6 +308,70 @@ def pack_params_two_towers(params) -> Tuple[jax.Array, ...]:
     return (w1c, b1c, w2c, b2c, w3c, b3c)
 
 
+def _check_params(params: EnvParams):
+    assert params.max_traffic == 1 and params.min_traffic == 1, (
+        "pallas path specializes min_traffic == max_traffic == 1")
+    assert (params.airspeed_factor_min == 1.0
+            and params.airspeed_factor_max == 1.0), (
+        "pallas respawn hard-codes traffic speed == airspeed")
+    assert params.bug_compat, (
+        "pallas kernels bake in the reference's bug_compat kinematics "
+        "quirks; use the XLA rollout for corrected physics")
+
+
+def _rollout_call(ins, weights, log_std, seed, step_offset, M: int, G: int,
+                  K: int, params: EnvParams, interpret: bool):
+    """The pallas_call shared by the solo (M=1) and member-grid paths:
+    grid (M, G), state/buffer blocks indexed m*G+g over flattened
+    (M*G, ...) stacks, weight blocks indexed by the member id."""
+    f32 = jnp.float32
+    MG = M * G
+    blk = pl.BlockSpec((1, 8, 128), lambda m, g: (m * G + g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    obs_blk = pl.BlockSpec((1, 8, E), lambda m, g: (m * G + g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    kbuf = pl.BlockSpec((1, K, 8, 128), lambda m, g: (m * G + g, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    kobs = pl.BlockSpec((1, K, 8, E), lambda m, g: (m * G + g, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    # weight stacks are (M, ...): block (1, ...) selected by the member id
+    # (bind the rank per-operand — a bare lambda would late-bind the loop
+    # variable and give every index map the last operand's rank)
+    wspec = [pl.BlockSpec((1,) + w.shape[1:],
+                          lambda m, g, r=len(w.shape): (m,) + (0,) * (r - 1),
+                          memory_space=pltpu.VMEM)
+             for w in weights]
+
+    out_specs = ([blk] * 9 + [obs_blk]
+                 + [kobs] + [kbuf] * 5
+                 + [kbuf] * 3 + [blk])
+    out_shapes = (
+        [jax.ShapeDtypeStruct((MG, 8, 128), f32)] * 7
+        + [jax.ShapeDtypeStruct((MG, 8, 128), jnp.int32)]
+        + [jax.ShapeDtypeStruct((MG, 8, 128), f32)]
+        + [jax.ShapeDtypeStruct((MG, 8, E), f32)]
+        + [jax.ShapeDtypeStruct((MG, K, 8, E), f32)]     # obs buffer
+        + [jax.ShapeDtypeStruct((MG, K, 8, 128), f32)] * 5
+        + [jax.ShapeDtypeStruct((MG, K, 8, 128), f32)] * 2
+        + [jax.ShapeDtypeStruct((MG, K, 8, 128), jnp.int32)]
+        + [jax.ShapeDtypeStruct((MG, 8, 128), f32)])     # final live a_lat
+    # fix ep_len buffer dtype (int32) at index -3
+    out_shapes[-3] = jax.ShapeDtypeStruct((MG, K, 8, 128), jnp.int32)
+
+    kernel = functools.partial(fused_policy_rollout_kernel, K=K, p=params)
+    return pl.pallas_call(
+        kernel,
+        grid=(M, G),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  + wspec + [blk] * 9 + [obs_blk]),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(jnp.array([[seed, step_offset]], jnp.int32), log_std,
+      *weights, *ins)
+
+
 def fused_policy_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
                          obs, policy_params, seed, step_offset, K: int,
                          params: EnvParams = DEFAULT_PARAMS,
@@ -314,74 +386,23 @@ def fused_policy_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
     dict with leaves (K, B) / obs (K, B, 8)).  `step_offset` advances the
     per-step RNG counter across chunked launches.
     """
-    assert params.max_traffic == 1 and params.min_traffic == 1, (
-        "pallas path specializes min_traffic == max_traffic == 1")
-    assert (params.airspeed_factor_min == 1.0
-            and params.airspeed_factor_max == 1.0), (
-        "pallas respawn hard-codes traffic speed == airspeed")
-    assert params.bug_compat, (
-        "pallas kernels bake in the reference's bug_compat kinematics "
-        "quirks; use the XLA rollout for corrected physics")
+    _check_params(params)
     B = px.shape[0]
     assert B % E == 0, f"batch {B} must be a multiple of {E}"
     G = B // E
-
     f32 = jnp.float32
 
     def tile(x, dtype=f32):
         return x.reshape(G, 8, 128).astype(dtype)
 
     obs_m = obs.astype(f32).reshape(G, E, 8).swapaxes(1, 2)   # (G, 8f, E)
-
     ins = [tile(px), tile(py), tile(psi), tile(tx), tile(ty), tile(tv),
            tile(tpsi), tile(steps, jnp.int32), tile(total_reward), obs_m]
-
-    blk = pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
-                       memory_space=pltpu.VMEM)
-    obs_blk = pl.BlockSpec((1, 8, E), lambda g: (g, 0, 0),
-                           memory_space=pltpu.VMEM)
-    kbuf = pl.BlockSpec((1, K, 8, 128), lambda g: (g, 0, 0, 0),
-                        memory_space=pltpu.VMEM)
-    kobs = pl.BlockSpec((1, K, 8, E), lambda g: (g, 0, 0, 0),
-                        memory_space=pltpu.VMEM)
-    # bind the rank per-operand (a bare `lambda g: ... w ...` would
-    # late-bind the loop variable and give every index map the last
-    # operand's rank)
-    wspec = [pl.BlockSpec(w.shape, lambda g, r=len(w.shape): (0,) * r,
-                          memory_space=pltpu.VMEM)
-             for w in pack_params_two_towers(policy_params)]
-
-    out_specs = ([blk] * 9 + [obs_blk]
-                 + [kobs] + [kbuf] * 5
-                 + [kbuf] * 3 + [blk])
-    out_shapes = (
-        [jax.ShapeDtypeStruct((G, 8, 128), f32)] * 7
-        + [jax.ShapeDtypeStruct((G, 8, 128), jnp.int32)]
-        + [jax.ShapeDtypeStruct((G, 8, 128), f32)]
-        + [jax.ShapeDtypeStruct((G, 8, E), f32)]
-        + [jax.ShapeDtypeStruct((G, K, 8, E), f32)]     # obs buffer
-        + [jax.ShapeDtypeStruct((G, K, 8, 128), f32)] * 5
-        + [jax.ShapeDtypeStruct((G, K, 8, 128), f32)] * 2
-        + [jax.ShapeDtypeStruct((G, K, 8, 128), jnp.int32)]
-        + [jax.ShapeDtypeStruct((G, 8, 128), f32)])     # final live a_lat
-    # fix ep_len buffer dtype (int32) at index -3
-    out_shapes[-3] = jax.ShapeDtypeStruct((G, K, 8, 128), jnp.int32)
-
-    weights = pack_params_two_towers(policy_params)
+    weights = tuple(w[None] for w in pack_params_two_towers(policy_params))
     log_std = policy_params["params"]["log_std"].astype(f32).reshape(1, 1)
 
-    kernel = functools.partial(fused_policy_rollout_kernel, K=K, p=params)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(G,),
-        in_specs=([pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
-                   pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
-                  + wspec + [blk] * 9 + [obs_blk]),
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(jnp.array([[seed, step_offset]], jnp.int32), log_std,
-      *weights, *ins)
+    outs = _rollout_call(ins, weights, log_std, seed, step_offset,
+                         1, G, K, params, interpret)
 
     def flat(x):
         return x.reshape(B)
@@ -397,6 +418,77 @@ def fused_policy_rollout(px, py, psi, tx, ty, tv, tpsi, steps, total_reward,
                  pa_lat=flat(outs[19]))
     buffers = dict(
         obs=outs[10].transpose(1, 0, 3, 2).reshape(K, B, 8),
+        actions=flat_k(outs[11]),
+        log_probs=flat_k(outs[12]),
+        values=flat_k(outs[13]),
+        rewards=flat_k(outs[14]),
+        dones=flat_k(outs[15]),
+        episode_return=flat_k(outs[16]),
+        episode_steps=flat_k(outs[17]),
+        outcome=flat_k(outs[18]),
+    )
+    return state, buffers
+
+
+def fused_policy_rollout_members(flat_state: Dict[str, jax.Array], obs,
+                                 stacked_params, seed, step_offset, K: int,
+                                 params: EnvParams = DEFAULT_PARAMS,
+                                 interpret: bool = False
+                                 ) -> Tuple[Dict[str, jax.Array],
+                                            Dict[str, jax.Array]]:
+    """Member-grid variant for population training: P member policies roll
+    their own env batches in ONE kernel whose grid spans
+    (members, env_blocks) — per-member weights are selected by the grid's
+    member coordinate, so the whole population rollout costs one launch
+    per K steps instead of P (ppo/population.py:make_population_step's
+    round-4 restriction removed).
+
+    `flat_state`: dict of (P, B) state arrays (px, py, psi, tx, ty, tv,
+    tpsi, steps, total_reward); `obs` (P, B, 8); `stacked_params`: flax
+    params with a leading (P,) on every leaf.  Returns (state dict with
+    (P, B) leaves + obs (P, B, 8) + pa_lat, buffers with (P, K, B) leaves
+    / obs (P, K, B, 8)).  RNG streams are decorrelated per (member,
+    env-block) pair and reduce to the solo kernel's streams at P == 1."""
+    _check_params(params)
+    M, B = flat_state["px"].shape
+    assert B % E == 0, f"per-member batch {B} must be a multiple of {E}"
+    G = B // E
+    f32 = jnp.float32
+
+    def tile(x, dtype=f32):
+        return x.reshape(M * G, 8, 128).astype(dtype)
+
+    obs_m = (obs.astype(f32).reshape(M, G, E, 8).swapaxes(2, 3)
+             .reshape(M * G, 8, E))
+    order = ("px", "py", "psi", "tx", "ty", "tv", "tpsi")
+    ins = ([tile(flat_state[k]) for k in order]
+           + [tile(flat_state["steps"], jnp.int32),
+              tile(flat_state["total_reward"]), obs_m])
+    weights = jax.vmap(pack_params_two_towers)(stacked_params)
+    log_std = (stacked_params["params"]["log_std"].astype(f32)
+               .reshape(M, 1))
+
+    outs = _rollout_call(ins, weights, log_std, seed, step_offset,
+                         M, G, K, params, interpret)
+
+    def flat(x):
+        return x.reshape(M, B)
+
+    def flat_k(x):
+        # (M*G, K, 8, 128) -> (M, K, B)
+        return (x.reshape(M, G, K, 8 * 128).swapaxes(1, 2)
+                .reshape(M, K, B))
+
+    state = dict(px=flat(outs[0]), py=flat(outs[1]), psi=flat(outs[2]),
+                 tx=flat(outs[3]), ty=flat(outs[4]), tv=flat(outs[5]),
+                 tpsi=flat(outs[6]), steps=flat(outs[7]),
+                 total_reward=flat(outs[8]),
+                 obs=(outs[9].reshape(M, G, 8, E).swapaxes(2, 3)
+                      .reshape(M, B, 8)),
+                 pa_lat=flat(outs[19]))
+    buffers = dict(
+        obs=(outs[10].reshape(M, G, K, 8, E).transpose(0, 2, 1, 4, 3)
+             .reshape(M, K, B, 8)),
         actions=flat_k(outs[11]),
         log_probs=flat_k(outs[12]),
         values=flat_k(outs[13]),

@@ -297,6 +297,51 @@ def normalize_adv_column(mb_data: jax.Array) -> jax.Array:
     return mb_data.at[:, _ADV].set(adv)
 
 
+def _grad_kernel_call(weights, log_std_11, dataT, *, n: int,
+                      clip_range: float, vf_coef: float, bf16: bool,
+                      interpret: bool, max_chunk: int):
+    """The pallas_call shared by both entry points: packed 6-tuple weight
+    operands + (1,1) log_std + (13, n) data -> the 11 raw grad/stat outs."""
+    C = _chunk_cols(n, max_chunk)
+    wspec = [pl.BlockSpec(w.shape, lambda g, r=len(w.shape): (0,) * r,
+                          memory_space=pltpu.VMEM) for w in weights]
+    dspec = pl.BlockSpec((N_COLS, C), lambda g: (0, g),
+                         memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec(s.shape, lambda g, r=len(s.shape): (0,) * r,
+                              memory_space=pltpu.VMEM)
+                 for s in _grad_out_shapes()]
+    kernel = functools.partial(_ppo_grad_kernel, n_rows=n,
+                               clip_range=clip_range, vf_coef=vf_coef,
+                               bf16=bf16)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // C,),
+        in_specs=([pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
+                  + wspec + [dspec]),
+        out_specs=out_specs,
+        out_shape=_grad_out_shapes(),
+        interpret=interpret,
+    )(log_std_11, *weights, dataT)
+
+
+def _loss_aux(pl_sum, vl_sum, kl_sum, cf_sum, n: int, log_std_scalar,
+              ent_coef: float, vf_coef: float) -> Dict[str, jax.Array]:
+    inv_n = 1.0 / n
+    cls = jnp.clip(log_std_scalar.astype(jnp.float32), -4.0, 2.0)
+    policy_loss = pl_sum[0, 0] * inv_n
+    value_loss = vl_sum[0, 0] * inv_n
+    entropy = jnp.float32(0.5 * (1.0 + LOG_2PI)) + cls
+    return {
+        "policy_loss": policy_loss,
+        "value_loss": value_loss,
+        "entropy": entropy,
+        "approx_kl": kl_sum[0, 0] * inv_n,
+        "clip_fraction": cf_sum[0, 0] * inv_n,
+        "loss": (policy_loss + ent_coef * (-entropy)
+                 + vf_coef * value_loss),
+    }
+
+
 def ppo_minibatch_grads(params, mb_data: jax.Array, *, clip_range: float,
                         vf_coef: float, ent_coef: float,
                         normalize_advantage: bool = True,
@@ -315,7 +360,6 @@ def ppo_minibatch_grads(params, mb_data: jax.Array, *, clip_range: float,
     assert mb_data.shape[1] == N_COLS, (
         f"fused update specializes obs_dim=8 / act_dim=1 "
         f"(packed width 13, got {mb_data.shape[1]})")
-    C = _chunk_cols(n, max_chunk)
     f32 = jnp.float32
 
     if normalize_advantage:
@@ -325,65 +369,59 @@ def ppo_minibatch_grads(params, mb_data: jax.Array, *, clip_range: float,
     weights = _pack_update_params(params)
     log_std = params["params"]["log_std"].astype(f32).reshape(1, 1)
 
-    wspec = [pl.BlockSpec(w.shape, lambda g, r=len(w.shape): (0,) * r,
-                          memory_space=pltpu.VMEM) for w in weights]
-    dspec = pl.BlockSpec((N_COLS, C), lambda g: (0, g),
-                         memory_space=pltpu.VMEM)
-    out_specs = [pl.BlockSpec(s.shape, lambda g, r=len(s.shape): (0,) * r,
-                              memory_space=pltpu.VMEM)
-                 for s in _grad_out_shapes()]
-
-    kernel = functools.partial(_ppo_grad_kernel, n_rows=n,
-                               clip_range=clip_range, vf_coef=vf_coef,
-                               bf16=bf16)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(n // C,),
-        in_specs=([pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
-                  + wspec + [dspec]),
-        out_specs=out_specs,
-        out_shape=_grad_out_shapes(),
-        interpret=interpret,
-    )(log_std, *weights, dataT)
-
+    outs = _grad_kernel_call(weights, log_std, dataT, n=n,
+                             clip_range=clip_range, vf_coef=vf_coef,
+                             bf16=bf16, interpret=interpret,
+                             max_chunk=max_chunk)
     (dw1c, db1c, dw2c, db2c, dw3c, db3c, dls,
      pl_sum, vl_sum, kl_sum, cf_sum) = outs
 
     # entropy term: entropy = 0.5*(1+log 2pi) + log_std (scalar); the loss
     # adds ent_coef * (-entropy), whose log_std gradient is -ent_coef
     dls_total = dls[0, 0] - jnp.float32(ent_coef)
+    grads = _unpack_to_flax(dw1c, db1c, dw2c, db2c, dw3c, db3c, dls_total,
+                            params)
+    aux = _loss_aux(pl_sum, vl_sum, kl_sum, cf_sum, n,
+                    params["params"]["log_std"][0], ent_coef, vf_coef)
+    return grads, aux
 
-    def unpack(dk, db):
-        """Kernel layout (out_feat, in_feat) -> flax (in, out) + (out,)."""
-        return {"kernel": dk.T, "bias": db.reshape(-1)}
 
-    # slice the per-tower blocks back out of the packed grads; the
-    # off-diagonal blocks of dw2c/dw3c are packing artifacts (see kernel
-    # docstring) and are dropped here
-    ref = params["params"]
-    grads = {"params": {
-        "pi_tower": {"dense_0": unpack(dw1c[:64], db1c[:64]),
-                     "dense_1": unpack(dw2c[:64, :64], db2c[:64])},
-        "vf_tower": {"dense_0": unpack(dw1c[64:], db1c[64:]),
-                     "dense_1": unpack(dw2c[64:, 64:], db2c[64:])},
-        "action_head": unpack(dw3c[0:1, :64], db3c[0:1]),
-        "value_head": unpack(dw3c[1:2, 64:], db3c[1:2]),
-        "log_std": dls_total.reshape(ref["log_std"].shape),
-    }}
-    grads = jax.tree.map(lambda g, p: g.astype(p.dtype), grads, params)
-
-    inv_n = 1.0 / n
-    cls = jnp.clip(params["params"]["log_std"].astype(f32)[0], -4.0, 2.0)
-    policy_loss = pl_sum[0, 0] * inv_n
-    value_loss = vl_sum[0, 0] * inv_n
-    entropy = jnp.float32(0.5 * (1.0 + LOG_2PI)) + cls
-    aux = {
-        "policy_loss": policy_loss,
-        "value_loss": value_loss,
-        "entropy": entropy,
-        "approx_kl": kl_sum[0, 0] * inv_n,
-        "clip_fraction": cf_sum[0, 0] * inv_n,
-        "loss": (policy_loss + ent_coef * (-entropy)
-                 + vf_coef * value_loss),
-    }
+def ppo_minibatch_grads_packed(packed: Dict[str, jax.Array],
+                               mb_data: jax.Array, *, clip_range: float,
+                               vf_coef: float, ent_coef: float,
+                               normalize_advantage: bool = True,
+                               interpret: bool = False,
+                               max_chunk: int = 2048, bf16: bool = False
+                               ) -> Tuple[Dict, Dict[str, jax.Array]]:
+    """ppo_minibatch_grads for PACKED-layout params: takes and returns the
+    7-leaf packed tree (pack_params_tree) with no per-call pack/unpack
+    scatters — the packed-parameter update loop's grad step
+    (learner.ppo_update packed=True).  Off-diagonal packing artifacts in
+    dw2c/dw3c/db3c are MASKED to zero so elementwise optimizers keep the
+    zero blocks invariant and global-norm clipping sees exactly the real
+    parameters' norm."""
+    n = mb_data.shape[0]
+    assert mb_data.shape[1] == N_COLS, (
+        f"fused update specializes obs_dim=8 / act_dim=1 "
+        f"(packed width 13, got {mb_data.shape[1]})")
+    f32 = jnp.float32
+    if normalize_advantage:
+        mb_data = normalize_adv_column(mb_data)
+    dataT = mb_data.astype(f32).T
+    weights = (packed["w1c"], packed["b1c"], packed["w2c"], packed["b2c"],
+               packed["w3c"], packed["b3c"])
+    log_std = packed["log_std"].astype(f32).reshape(1, 1)
+    outs = _grad_kernel_call(weights, log_std, dataT, n=n,
+                             clip_range=clip_range, vf_coef=vf_coef,
+                             bf16=bf16, interpret=interpret,
+                             max_chunk=max_chunk)
+    (dw1c, db1c, dw2c, db2c, dw3c, db3c, dls,
+     pl_sum, vl_sum, kl_sum, cf_sum) = outs
+    dls_total = dls[0, 0] - jnp.float32(ent_coef)
+    grads = {"w1c": dw1c, "b1c": db1c,
+             "w2c": dw2c * _MASK_W2, "b2c": db2c,
+             "w3c": dw3c * _MASK_W3, "b3c": db3c * _MASK_B3,
+             "log_std": dls_total.reshape(packed["log_std"].shape)}
+    aux = _loss_aux(pl_sum, vl_sum, kl_sum, cf_sum, n,
+                    packed["log_std"].reshape(-1)[0], ent_coef, vf_coef)
     return grads, aux

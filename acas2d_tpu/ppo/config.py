@@ -73,6 +73,19 @@ class PPOConfig:
     # f32, where the cast would trade ~1e-2 relative grad rounding
     # (interpreter-measured, tests/test_pallas_update.py) for MXU rate.
     fused_update_bf16: bool = False
+    # Run the fused update's WHOLE epochs x minibatches loop on
+    # packed-layout parameters: params and Adam moments stay in the
+    # kernel's 7-leaf packed form (two towers in one 128-wide block-
+    # diagonal network + log_std) for all grad steps, with one pack and
+    # one unpack per train_step.  Semantically identical to fused_update
+    # (off-diagonal grads are masked to zero, so elementwise Adam keeps
+    # the zero blocks invariant and global-norm clipping sees the real
+    # parameter norm; only float summation order differs).  The win is
+    # for POPULATION runs, where the vmapped flax-tree update's ~11 small
+    # (P, 64, .) leaves per grad step are DMA-latency-bound
+    # (docs/PERFORMANCE.md 'Population training throughput'); implies
+    # fused_update.
+    fused_update_packed: bool = False
     # Columns per kernel grid step.  The grid is sequential with ~4-5us
     # fixed cost per step (measured v5e), which dominates the 167us f32
     # grad step at 2048 cols x 32 chunks; 4096 halves the chunk count.

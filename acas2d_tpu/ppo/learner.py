@@ -328,16 +328,21 @@ def make_fused_grads_fn(cfg: PPOConfig, mesh=None) -> Callable:
                      ent_coef=cfg.ent_coef, interpret=interpret,
                      bf16=cfg.fused_update_bf16,
                      max_chunk=cfg.fused_update_chunk)
+    # packed-parameter mode: the grad callable takes/returns the 7-leaf
+    # packed tree (ppo_update's packed carry), same call shape otherwise
+    kernel_fn = (pallas_update.ppo_minibatch_grads_packed
+                 if cfg.fused_update_packed
+                 else pallas_update.ppo_minibatch_grads)
     if mesh is None:
         return functools.partial(
-            pallas_update.ppo_minibatch_grads,
-            normalize_advantage=cfg.normalize_advantage, **kernel_kw)
+            kernel_fn, normalize_advantage=cfg.normalize_advantage,
+            **kernel_kw)
 
     from jax.sharding import PartitionSpec as PS
     axis = mesh.axis_names[0]
 
     def local_grads(params, mb):
-        grads, aux = pallas_update.ppo_minibatch_grads(
+        grads, aux = kernel_fn(
             params, mb, normalize_advantage=False, **kernel_kw)
         # equal shard sizes: the global mean is the mean of shard means
         return jax.lax.pmean(grads, axis), jax.lax.pmean(aux, axis)
@@ -355,6 +360,25 @@ def make_fused_grads_fn(cfg: PPOConfig, mesh=None) -> Callable:
         return smapped(params, mb)
 
     return fused_grads
+
+
+def _map_param_subtrees(tree, ref_params, fn):
+    """Rebuild `tree` (an optax state) with `fn` applied to every subtree
+    whose pytree STRUCTURE equals ref_params' (the Adam mu/nu moment trees),
+    leaving scalars (step counts) and other state untouched.  This is how
+    the packed-parameter update converts the optimizer state to/from the
+    kernel's packed layout without hard-coding the optax chain topology."""
+    pdef = jax.tree_util.tree_structure(ref_params)
+
+    def is_param_tree(node):
+        try:
+            return jax.tree_util.tree_structure(node) == pdef
+        except Exception:
+            return False
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree, is_leaf=is_param_tree)
+    return jax.tree_util.tree_unflatten(
+        treedef, [fn(l) if is_param_tree(l) else l for l in leaves])
 
 
 def ppo_update(model: ActorCritic, tx: optax.GradientTransformation,
@@ -395,31 +419,55 @@ def ppo_update(model: ActorCritic, tx: optax.GradientTransformation,
     if cfg.fused_update and fused_grads is None:
         fused_grads = make_fused_grads_fn(cfg, mesh)
 
+    # Packed-parameter update loop (PPOConfig.fused_update_packed): params
+    # and Adam moments stay in the kernel's 7-leaf packed layout for ALL
+    # n_epochs x n_minibatches grad steps — one pack + one unpack per
+    # train_step instead of six scatters per grad step, and the optimizer
+    # runs on a few big contiguous tensors instead of ~11 small per-tower
+    # leaves.  This kills the per-member small-tile DMA pathology that
+    # bounds vmapped population updates (docs/PERFORMANCE.md).
+    packed_mode = cfg.fused_update and cfg.fused_update_packed
+    if packed_mode:
+        from acas2d_tpu.ops import pallas_update as _pu
+        carry_params = _pu.pack_params_tree(params)
+        carry_opt = _map_param_subtrees(opt_state, params,
+                                        _pu.pack_params_tree)
+    else:
+        carry_params, carry_opt = params, opt_state
+
     def epoch_body(carry, k_epoch):
-        params, opt_state = carry
+        cparams, copt = carry
         perm = jax.random.permutation(k_epoch, N // block)
         mbs = blocks[perm].reshape(
             cfg.n_minibatches, cfg.minibatch_size, data.shape[-1])
 
         def mb_body(carry, mb):
-            params, opt_state = carry
+            cparams, copt = carry
             if cfg.fused_update:
-                # mb is already the kernel's packed (mb_size, 13) layout
-                grads, aux = fused_grads(params, mb)
+                # mb is already the kernel's packed (mb_size, 13) layout;
+                # in packed_mode fused_grads is the packed-tree variant
+                grads, aux = fused_grads(cparams, mb)
             else:
-                (loss, aux), grads = grad_fn(params, unpack(mb))
+                (loss, aux), grads = grad_fn(cparams, unpack(mb))
                 aux["loss"] = loss
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), aux
+            updates, copt = tx.update(grads, copt, cparams)
+            cparams = optax.apply_updates(cparams, updates)
+            return (cparams, copt), aux
 
-        (params, opt_state), aux = jax.lax.scan(mb_body, (params, opt_state), mbs)
-        return (params, opt_state), aux
+        (cparams, copt), aux = jax.lax.scan(mb_body, (cparams, copt), mbs)
+        return (cparams, copt), aux
 
     keys = jax.random.split(key, cfg.n_epochs)
-    (params, opt_state), aux = jax.lax.scan(epoch_body, (params, opt_state), keys)
+    (carry_params, carry_opt), aux = jax.lax.scan(
+        epoch_body, (carry_params, carry_opt), keys)
+    if packed_mode:
+        new_params = _pu.unpack_params_tree(carry_params, params)
+        new_opt = _map_param_subtrees(
+            carry_opt, carry_params,
+            lambda t: _pu.unpack_params_tree(t, params))
+        carry_params, carry_opt = new_params, new_opt
     metrics = jax.tree.map(lambda x: x.mean(), aux)
-    return params, opt_state, metrics
+    return carry_params, carry_opt, metrics
 
 
 # ------------------------------------------------------------- train step

@@ -37,11 +37,14 @@ def init_population(model: ActorCritic, cfg: PPOConfig,
                     dtype=jnp.float32) -> learner.TrainState:
     """TrainState with a leading (pop,) axis on every leaf; member i's
     leaves equal a solo `init_train_state(PRNGKey(cfg.seed + i), ...)`."""
-    assert not cfg.fused_rollout, (
-        "population training collects rollouts with the XLA path (the "
-        "Pallas rollout kernel is a per-device shard_map program and does "
-        "not compose with the population vmap); cfg.fused_update IS "
-        "supported — vmap extends the update kernel's grid over members")
+    if cfg.fused_rollout:
+        # the member-grid kernel (pallas_policy.fused_policy_rollout_members)
+        # rolls every member's envs in one launch; each member's env batch
+        # tiles the kernel's 1024-env programs
+        from acas2d_tpu.ops import pallas_policy
+        assert cfg.n_envs % pallas_policy.E == 0, (
+            f"population fused_rollout needs n_envs % {pallas_policy.E} "
+            f"== 0 per member, got {cfg.n_envs}")
     if cfg.fused_update and jax.device_count() > 1:
         # multi-accelerator runs must shard_map the vmapped kernel over
         # the member axis (pass mesh= to make_population_step — train.py
@@ -70,9 +73,30 @@ def init_population(model: ActorCritic, cfg: PPOConfig,
     return jax.jit(jax.vmap(one))(keys)
 
 
+def _member_fused_grads(cfg: PPOConfig):
+    """The fused-update gradient callable injected into the vmapped/
+    per-member ppo_update (skips learner.make_fused_grads_fn's shard_map
+    plumbing — member sharding is handled at the whole-step level)."""
+    import functools
+    from acas2d_tpu.ops import pallas_update
+    assert pallas_update.supported(cfg.minibatch_size), (
+        f"fused_update needs minibatch_size % 128 == 0, got "
+        f"{cfg.minibatch_size}")
+    kernel_fn = (pallas_update.ppo_minibatch_grads_packed
+                 if cfg.fused_update_packed
+                 else pallas_update.ppo_minibatch_grads)
+    return functools.partial(
+        kernel_fn,
+        normalize_advantage=cfg.normalize_advantage,
+        clip_range=cfg.clip_range, vf_coef=cfg.vf_coef,
+        ent_coef=cfg.ent_coef,
+        interpret=jax.default_backend() != "tpu",
+        bf16=cfg.fused_update_bf16, max_chunk=cfg.fused_update_chunk)
+
+
 def make_population_step(model: ActorCritic, cfg: PPOConfig,
                          env_params: EnvParams, mesh=None) -> Callable:
-    """vmap of the full PPO train_step over the population axis:
+    """Full PPO train step over the population axis:
     (TrainState[P]) -> (TrainState[P], metrics[P]).
 
     With cfg.fused_update, the minibatch gradients run in the fused
@@ -80,28 +104,25 @@ def make_population_step(model: ActorCritic, cfg: PPOConfig,
     dimension — measured 2.55x faster than the vmapped XLA update on v5e
     (140 vs 358 ms per 16-member update), whose batched small-weight
     GEMMs are DMA-latency-bound (docs/PERFORMANCE.md 'Population
-    training throughput').
+    training throughput').  cfg.fused_update_packed additionally keeps
+    params/Adam moments in the kernel's packed layout across the whole
+    update loop.
 
-    With `mesh` given (fused_update on a multi-device backend), the
-    vmapped step runs under shard_map over the member axis: each device
-    trains its local P/n_devices members with its own kernel grid — zero
+    With cfg.fused_rollout, the rollout runs in the MEMBER-GRID kernel
+    (one launch rolls every member's env batch; per-member weights
+    selected by the grid's member coordinate) and the update is vmapped
+    per member — see make_population_step_fused_rollout.
+
+    With `mesh` given (any fused path on a multi-device backend), the
+    step runs under shard_map over the member axis: each device trains
+    its local P/n_devices members with its own kernel grid — zero
     collectives (an un-shard_mapped pallas_call would gather everything
     onto one device).  The XLA path needs no mesh; it shards
     transparently through jit."""
-    import functools
-    fused_grads = None
-    if cfg.fused_update:
-        from acas2d_tpu.ops import pallas_update
-        assert pallas_update.supported(cfg.minibatch_size), (
-            f"fused_update needs minibatch_size % 128 == 0, got "
-            f"{cfg.minibatch_size}")
-        fused_grads = functools.partial(
-            pallas_update.ppo_minibatch_grads,
-            normalize_advantage=cfg.normalize_advantage,
-            clip_range=cfg.clip_range, vf_coef=cfg.vf_coef,
-            ent_coef=cfg.ent_coef,
-            interpret=jax.default_backend() != "tpu",
-            bf16=cfg.fused_update_bf16, max_chunk=cfg.fused_update_chunk)
+    if cfg.fused_rollout:
+        return make_population_step_fused_rollout(model, cfg, env_params,
+                                                  mesh=mesh)
+    fused_grads = _member_fused_grads(cfg) if cfg.fused_update else None
     step = jax.vmap(learner.make_train_step(model, cfg, env_params,
                                             fused_grads=fused_grads))
     if mesh is not None and cfg.fused_update:
@@ -110,6 +131,136 @@ def make_population_step(model: ActorCritic, cfg: PPOConfig,
         step = learner._shard_map(step, mesh,
                                   in_specs=PS(axis),
                                   out_specs=(PS(axis), PS(axis)))
+    return step
+
+
+def collect_rollout_fused_members(model: ActorCritic,
+                                  state: learner.TrainState,
+                                  cfg: PPOConfig, env_params: EnvParams,
+                                  member_axis_name: str = None):
+    """learner.collect_rollout_fused for a population TrainState (leading
+    (P,) on every leaf): T/fused_chunk launches of the member-grid kernel
+    (ops/pallas_policy.py:fused_policy_rollout_members) instead of P
+    separate per-member rollouts.  Returns (state', RolloutBatch with
+    (P, T, B, ...) leaves, last_values (P, B), per-member metrics (P,)).
+
+    RNG: per-member carried threefry keys split once per call (the update
+    consumes them downstream); the kernel seed derives from a fold of
+    member 0's key, and per-(member, block) streams decorrelate through
+    the kernel's flattened program id.  `member_axis_name` (set under
+    shard_map) additionally folds the device index into the seed —
+    program ids restart at 0 in every shard."""
+    from acas2d_tpu.ops import pallas_policy
+
+    K = cfg.fused_chunk
+    assert cfg.n_steps % K == 0, (
+        f"n_steps {cfg.n_steps} not divisible by fused_chunk {K}")
+    es = state.env_state
+    keys = jax.vmap(jax.random.split)(state.key)     # (P, 2, 2)
+    new_keys = keys[:, 0]
+    seed = jax.random.randint(keys[0, 1], (), 0,
+                              jnp.iinfo(jnp.int32).max, jnp.int32)
+    if member_axis_name is not None:
+        seed = seed + jax.lax.axis_index(member_axis_name) * jnp.int32(7919)
+    interpret = jax.default_backend() != "tpu"
+
+    def chunk(carry, idx):
+        flat, obs = carry
+        st, buf = pallas_policy.fused_policy_rollout_members(
+            flat, obs, state.params, seed, idx * K, K, env_params,
+            interpret=interpret)
+        next_obs = st.pop("obs")
+        return (st, next_obs), buf
+
+    flat0 = dict(px=es.px, py=es.py, psi=es.ppsi,
+                 tx=es.tx[:, :, 0], ty=es.ty[:, :, 0], tv=es.tv[:, :, 0],
+                 tpsi=es.tpsi[:, :, 0], steps=es.steps,
+                 total_reward=es.total_reward, pa_lat=es.pa_lat)
+    (flatF, obsF), bufs = jax.lax.scan(
+        chunk, (flat0, state.obs.astype(jnp.float32)),
+        jnp.arange(cfg.n_steps // K))
+    # un-chunk: (n_chunks, P, K, B, ...) -> (P, T, B, ...)
+    bufs = jax.tree.map(
+        lambda x: jnp.moveaxis(x, 0, 1).reshape(
+            (x.shape[1], cfg.n_steps) + x.shape[3:]), bufs)
+
+    batch = learner.RolloutBatch(
+        obs=bufs["obs"], actions=bufs["actions"][..., None],
+        log_probs=bufs["log_probs"], values=bufs["values"],
+        rewards=bufs["rewards"], dones=bufs["dones"] > 0)
+    last_values = jax.vmap(lambda p, o: model.apply(p, o)[2])(
+        state.params, obsF)
+
+    env_state = es.replace(
+        px=flatF["px"], py=flatF["py"], ppsi=flatF["psi"],
+        pa_lat=flatF["pa_lat"],
+        tx=flatF["tx"][:, :, None], ty=flatF["ty"][:, :, None],
+        tv=flatF["tv"][:, :, None], tpsi=flatF["tpsi"][:, :, None],
+        steps=flatF["steps"], total_reward=flatF["total_reward"],
+        outcome=jnp.zeros_like(es.outcome))
+
+    dones = bufs["dones"]
+    outcome = bufs["outcome"]
+    n_ep = jnp.maximum(dones.sum(axis=(1, 2)), 1)        # (P,)
+    metrics = {
+        "episodes": dones.sum(axis=(1, 2)),
+        "ep_return_mean": bufs["episode_return"].sum(axis=(1, 2)) / n_ep,
+        "ep_length_mean": bufs["episode_steps"].sum(axis=(1, 2)) / n_ep,
+        "goal_rate": (outcome == 1).sum(axis=(1, 2)) / n_ep,
+        "collision_rate": (outcome == 2).sum(axis=(1, 2)) / n_ep,
+        "timeout_rate": (outcome == 3).sum(axis=(1, 2)) / n_ep,
+    }
+    new_state = state.replace(env_state=env_state, obs=obsF, key=new_keys,
+                              iteration=state.iteration + 1)
+    return new_state, batch, last_values, metrics
+
+
+def make_population_step_fused_rollout(model: ActorCritic, cfg: PPOConfig,
+                                       env_params: EnvParams,
+                                       mesh=None) -> Callable:
+    """Population train step with the rollout in the member-grid fused
+    kernel and the update vmapped over members (fused/packed per
+    cfg.fused_update / cfg.fused_update_packed).  Semantically a
+    per-member PPO iteration like the vmap path; rollout RNG streams are
+    the hash-kernel family (statistically, not bit, identical to XLA
+    rollouts — the same contract as solo --fused-rollout)."""
+    import functools
+    from jax.sharding import PartitionSpec as PS
+
+    from acas2d_tpu.ppo.gae import compute_gae
+
+    tx = learner.make_optimizer(cfg)
+    fused_grads = _member_fused_grads(cfg) if cfg.fused_update else None
+
+    def step(state: learner.TrainState, member_axis_name=None):
+        state, batch, last_values, env_metrics = (
+            collect_rollout_fused_members(model, state, cfg, env_params,
+                                          member_axis_name))
+
+        def member_update(params, opt_state, b, lv, key):
+            advantages, returns = compute_gae(
+                b.rewards, b.values, b.dones, lv, cfg.gamma, cfg.gae_lambda)
+            key, k_update = jax.random.split(key)
+            params, opt_state, opt_metrics = learner.ppo_update(
+                model, tx, params, opt_state, b, advantages, returns,
+                k_update, cfg, fused_grads=fused_grads)
+            ev = 1.0 - (jnp.var(returns - b.values)
+                        / (jnp.var(returns) + 1e-8))
+            return params, opt_state, key, opt_metrics, ev
+
+        params, opt_state, keys, opt_metrics, ev = jax.vmap(member_update)(
+            state.params, state.opt_state, batch, last_values, state.key)
+        state = state.replace(params=params, opt_state=opt_state, key=keys)
+        metrics = {**env_metrics, **opt_metrics,
+                   "explained_variance": ev,
+                   "iteration": state.iteration}
+        return state, metrics
+
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        return learner._shard_map(
+            functools.partial(step, member_axis_name=axis), mesh,
+            in_specs=PS(axis), out_specs=(PS(axis), PS(axis)))
     return step
 
 

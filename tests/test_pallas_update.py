@@ -160,3 +160,96 @@ def test_bf16_grads_track_f32():
             jax.tree_util.keystr(pa)
     np.testing.assert_allclose(float(a16["loss"]), float(a32["loss"]),
                                rtol=5e-3)
+
+
+# ----------------------------------------------- packed-parameter update
+
+def test_pack_unpack_roundtrip():
+    """pack_params_tree -> unpack_params_tree is bit-exact, and the packed
+    off-diagonal blocks are exactly zero (the invariant the masked grads
+    preserve through elementwise optimizers)."""
+    model = ActorCritic()
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 8), jnp.float32))
+    packed = pallas_update.pack_params_tree(params)
+    back = pallas_update.unpack_params_tree(packed, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    w2 = np.asarray(packed["w2c"])
+    assert (w2[:64, 64:] == 0).all() and (w2[64:, :64] == 0).all()
+    w3 = np.asarray(packed["w3c"])
+    assert (w3[2:] == 0).all() and (w3[0, 64:] == 0).all() \
+        and (w3[1, :64] == 0).all()
+
+
+def test_packed_grads_equal_flax_grads():
+    """ppo_minibatch_grads_packed computes the SAME kernel math as
+    ppo_minibatch_grads — the packed grads slice bit-exactly to the flax
+    grads, the masked off-diagonals are zero, and aux matches."""
+    model = ActorCritic()
+    cfg = PPOConfig(n_envs=2, n_steps=128, minibatch_size=256,
+                    total_timesteps=256)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.float32))
+    packed_mb, _ = _make_minibatch(params, model)
+
+    g_flax, a_flax = pallas_update.ppo_minibatch_grads(
+        params, packed_mb, clip_range=cfg.clip_range, vf_coef=cfg.vf_coef,
+        ent_coef=cfg.ent_coef, interpret=True)
+    gp, a_packed = pallas_update.ppo_minibatch_grads_packed(
+        pallas_update.pack_params_tree(params), packed_mb,
+        clip_range=cfg.clip_range, vf_coef=cfg.vf_coef,
+        ent_coef=cfg.ent_coef, interpret=True)
+
+    # masked off-diagonals exactly zero
+    w2 = np.asarray(gp["w2c"])
+    assert (w2[:64, 64:] == 0).all() and (w2[64:, :64] == 0).all()
+    assert (np.asarray(gp["w3c"])[2:] == 0).all()
+    assert (np.asarray(gp["b3c"])[2:] == 0).all()
+    # slicing the packed grads reproduces the flax grads bit-exactly
+    back = pallas_update.unpack_params_tree(gp, params)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_flax),
+            jax.tree_util.tree_leaves_with_path(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(path))
+    for k in a_flax:
+        np.testing.assert_array_equal(np.asarray(a_flax[k]),
+                                      np.asarray(a_packed[k]), err_msg=k)
+
+
+def test_packed_update_train_step_matches_fused():
+    """Full train_step with fused_update_packed: identical RNG streams;
+    params/opt-state must track the unpacked fused train_step to float
+    rounding (the ONLY difference is global-norm summation order over 7 vs
+    11 leaves) and the returned metrics must agree."""
+    from acas2d_tpu.parallel import mesh as mesh_lib
+
+    model = ActorCritic()
+    n_envs, n_steps = 64, 32
+    kw = dict(n_envs=n_envs, n_steps=n_steps, minibatch_size=512,
+              total_timesteps=n_envs * n_steps, n_epochs=2)
+    cfg_f = PPOConfig(fused_update=True, **kw)
+    cfg_p = PPOConfig(fused_update=True, fused_update_packed=True, **kw)
+    st = learner.init_train_state(jax.random.PRNGKey(5), model, cfg_f, P)
+    mesh1 = mesh_lib.make_mesh(jax.devices()[:1])
+
+    st_f, m_f = jax.jit(learner.make_train_step(model, cfg_f, P,
+                                                mesh=mesh1))(st)
+    st_p, m_p = jax.jit(learner.make_train_step(model, cfg_p, P,
+                                                mesh=mesh1))(st)
+
+    assert set(m_f) == set(m_p)
+    np.testing.assert_allclose(float(m_p["loss"]), float(m_f["loss"]),
+                               rtol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(st_f.params),
+            jax.tree_util.tree_leaves_with_path(st_p.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(path))
+    # optimizer state: same tree structure, moments match
+    assert (jax.tree_util.tree_structure(st_f.opt_state)
+            == jax.tree_util.tree_structure(st_p.opt_state))
+    for a, b in zip(jax.tree.leaves(st_f.opt_state),
+                    jax.tree.leaves(st_p.opt_state)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)

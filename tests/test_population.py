@@ -269,6 +269,63 @@ def test_population_fused_update_matches_xla():
                                    rtol=2e-3, atol=2e-5)
 
 
+def test_population_packed_update_matches_fused():
+    """cfg.fused_update_packed in population mode: the whole vmapped
+    epochs x minibatches loop runs on packed-layout params/moments (one
+    pack+unpack per train_step).  Must track the per-grad-step-packed
+    fused population step to float rounding — the only difference is the
+    global-norm summation order over 7 vs 11 leaves."""
+    import dataclasses
+    cfg_f = _tiny_cfg(n_envs=8, n_steps=32, minibatch_size=128,
+                      total_timesteps=8 * 32, fused_update=True)
+    cfg_p = dataclasses.replace(cfg_f, fused_update_packed=True)
+    model = ActorCritic()
+    pop = 2
+
+    st = population.init_population(model, cfg_f, P, pop)
+    st_f, m_f = jax.jit(population.make_population_step(model, cfg_f, P))(st)
+    st_p, m_p = jax.jit(population.make_population_step(model, cfg_p, P))(st)
+
+    np.testing.assert_allclose(np.asarray(m_p["loss"]),
+                               np.asarray(m_f["loss"]), rtol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(st_f.params),
+            jax.tree_util.tree_leaves_with_path(st_p.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(path))
+    # opt state round-trips to the SAME flax-tree structure (checkpoint
+    # schema unchanged by the packed mode)
+    assert (jax.tree_util.tree_structure(st_f.opt_state)
+            == jax.tree_util.tree_structure(st_p.opt_state))
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_population_packed_update_shard_mapped_over_mesh():
+    """The SHIPPED fast path (population + fused_update_packed) under
+    shard_map over the member axis matches the unsharded packed step."""
+    from acas2d_tpu.parallel import mesh as mesh_lib
+
+    cfg = _tiny_cfg(n_envs=8, n_steps=32, minibatch_size=128,
+                    total_timesteps=8 * 32, fused_update=True,
+                    fused_update_packed=True)
+    model = ActorCritic()
+    pop = 8
+    st = population.init_population(model, cfg, P, pop)
+    st_ref, m_ref = jax.jit(
+        population.make_population_step(model, cfg, P))(st)
+    mesh = mesh_lib.make_mesh()
+    st_sh = mesh_lib.shard_env_pytree(st, mesh)
+    st_out, m_out = jax.jit(population.make_population_step(
+        model, cfg, P, mesh=mesh))(st_sh)
+    np.testing.assert_allclose(np.asarray(m_out["loss"]),
+                               np.asarray(m_ref["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(st_ref.params),
+                    jax.tree.leaves(st_out.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_population_fused_update_shard_mapped_over_mesh():
     """population + fused_update on a multi-device mesh: the vmapped

@@ -71,6 +71,16 @@ def parse_args(argv=None):
                         "(ops/pallas_update.py; TPU only; multi-device runs "
                         "shard_map it over the env mesh; per-device "
                         "minibatch shard %% 128 == 0)")
+    p.add_argument("--fused-update-packed", action="store_true",
+                   help="run the fused update's whole epochs x minibatches "
+                        "loop on packed-layout parameters (one pack/unpack "
+                        "per train_step instead of six scatters per grad "
+                        "step; Adam on a few big tensors instead of ~11 "
+                        "small per-tower leaves). Implies --fused-update; "
+                        "semantically identical gradients (off-diagonal "
+                        "packing artifacts masked). The big win is "
+                        "--population runs, whose vmapped per-member "
+                        "small-tile updates are DMA-latency-bound")
     p.add_argument("--population", type=int, default=0, metavar="P",
                    help="train P independent member policies in ONE device "
                         "program (vmap of the full train_step over a "
@@ -81,10 +91,12 @@ def parse_args(argv=None):
                         "(ppo/population.py). Writes selected_best.npz + "
                         "population.json into the run dir. Composes with "
                         "--fused-update (vmap extends the update kernel's "
-                        "grid over members; 3x the XLA update) and "
-                        "--init-params-npz (polish stage); --fused-rollout "
-                        "is unsupported. Multi-device runs shard members "
-                        "across chips")
+                        "grid over members; 3x the XLA update), "
+                        "--fused-update-packed, --fused-rollout (the "
+                        "member-grid kernel rolls every member's envs in "
+                        "one launch; needs n_envs % 1024 == 0), and "
+                        "--init-params-npz (polish stage). Multi-device "
+                        "runs shard members across chips")
     p.add_argument("--reval-episodes", type=int, default=256,
                    help="population mode: episodes of the fresh end-of-run "
                         "re-eval of every member's best snapshot that "
@@ -255,6 +267,9 @@ def build_config(args) -> PPOConfig:
     if args.fused_update_bf16:
         overrides["fused_update"] = True
         overrides["fused_update_bf16"] = True
+    if args.fused_update_packed:
+        overrides["fused_update"] = True
+        overrides["fused_update_packed"] = True
     if args.eval_every is not None:
         overrides["eval_every_steps"] = args.eval_every
     if args.eval_episodes is not None:
@@ -384,7 +399,8 @@ def main(argv=None):
         # fused_update on a sharded multi-device run, the vmapped kernel
         # shard_maps over the member axis (one kernel grid per device).
         from acas2d_tpu.ppo import population
-        pop_mesh = mesh if (cfg.fused_update and sharded) else None
+        pop_mesh = mesh if ((cfg.fused_update or cfg.fused_rollout)
+                            and sharded) else None
         if iters_per_call > 1:
             train_fn = jax.jit(population.make_population_loop(
                 model, cfg, env_params, iters_per_call, mesh=pop_mesh),
