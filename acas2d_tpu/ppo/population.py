@@ -320,7 +320,8 @@ class PopulationTracker:
     `population.json` summary.
     """
 
-    def __init__(self, run_dir: str, pop: int, seed: int, k: int = 6):
+    def __init__(self, run_dir: str, pop: int, seed: int, k: int = 6,
+                 save_interval_s: float = 2.0):
         import os
         import numpy as np
         self.run_dir = run_dir
@@ -332,6 +333,14 @@ class PopulationTracker:
         self.snap_params = None     # stacked host tree, (pop, k) leading
         self.final_vals = np.full(pop, np.nan)
         self._path = os.path.join(run_dir, "population_best.npz")
+        # persistence is time-throttled: at sub-minute population scale the
+        # archive improves on most of the ~100 evals, and an npz write per
+        # improvement is measurable host wall; a crash loses at most
+        # `save_interval_s` of archive progress (finalize()/flush() always
+        # write the final state)
+        self._save_interval_s = save_interval_s
+        self._last_save = float("-inf")
+        self._dirty = False
         if os.path.exists(self._path):
             self._load()
 
@@ -376,12 +385,24 @@ class PopulationTracker:
             self.snap_params = jax.tree.map(
                 lambda x: _tile_slot0(x, self.k), tree)
 
-    def _save(self):
+    def _save(self, force: bool = False):
+        import time
         import numpy as np
         from acas2d_tpu.utils.params_io import _flatten
+        now = time.monotonic()
+        if not force and now - self._last_save < self._save_interval_s:
+            self._dirty = True
+            return
         flat = _flatten(self.snap_params)
         np.savez(self._path, __snap_vals__=self.snap_vals,
                  __snap_steps__=self.snap_steps, **flat)
+        self._last_save = now
+        self._dirty = False
+
+    def flush(self):
+        """Force-persist a throttled pending save (call before exit)."""
+        if self._dirty and self.snap_params is not None:
+            self._save(force=True)
 
     # -- updates ----------------------------------------------------------
     def update(self, gstep: int, eval_vals, params_host) -> int:
@@ -403,13 +424,17 @@ class PopulationTracker:
                 lambda x: np.repeat(np.asarray(x)[:, None], self.k, axis=1),
                 params_host)
             # only the claimed slots carry real values; the rest stay -inf
+        # in-place slot writes (the tracker owns the archive arrays): a
+        # per-member full-archive copy per improvement was measurable host
+        # wall at sub-minute population scale
+        arch_leaves = jax.tree.leaves(self.snap_params)
+        new_leaves = [np.asarray(l) for l in jax.tree.leaves(params_host)]
         for i in improved:
             j = int(slot_min[i])
             self.snap_vals[i, j] = eval_vals[i]
             self.snap_steps[i, j] = gstep
-            self.snap_params = jax.tree.map(
-                lambda b, n, i=int(i), j=j: _set_slot(b, n, i, j),
-                self.snap_params, params_host)
+            for b, n in zip(arch_leaves, new_leaves):
+                b[i, j] = n[i]
         self._save()
         return int(improved.size)
 
@@ -456,6 +481,7 @@ class PopulationTracker:
         import os
         import numpy as np
         from acas2d_tpu.utils.params_io import save_params_npz
+        self.flush()
         score_vals = None
         if reval_vals is not None:
             reval_vals = np.asarray(reval_vals, dtype=float).reshape(
@@ -516,15 +542,6 @@ class PopulationTracker:
         with open(os.path.join(self.run_dir, "population.json"), "w") as f:
             json.dump(summary, f, indent=1)
         return summary
-
-
-def _set_slot(arch_leaf, new_leaf, i: int, j: int):
-    """arch_leaf (pop, k, ...): write member i's current params into
-    archive slot j."""
-    import numpy as np
-    out = np.array(arch_leaf)
-    out[i, j] = np.asarray(new_leaf)[i]
-    return out
 
 
 def _tile_slot0(leaf, k: int):

@@ -323,6 +323,80 @@ def main() -> int:
     if obs_err > 2e-2:
         failures.append(f"policy kernel obs recompute err {obs_err:.2e}")
 
+    # ---- 5. packed-parameter grads on chip: bit-identical to the flax
+    #         entry point (same kernel math on identical operands) and
+    #         masked off-diagonals exactly zero
+    gp, _ = jax.jit(
+        lambda p, d: pallas_update.ppo_minibatch_grads_packed(
+            p, d, clip_range=cfg.clip_range, vf_coef=cfg.vf_coef,
+            ent_coef=cfg.ent_coef, interpret=False))(
+        pallas_update.pack_params_tree(params), packed)
+    back = pallas_update.unpack_params_tree(gp, params)
+    pk = {"offdiag_zero": bool(
+        (np.asarray(gp["w2c"])[:64, 64:] == 0).all()
+        and (np.asarray(gp["w2c"])[64:, :64] == 0).all()
+        and (np.asarray(gp["w3c"])[2:] == 0).all())}
+    worst_pk = 0.0
+    for (pa, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(grads),
+                               jax.tree_util.tree_leaves_with_path(back)):
+        dev = float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        worst_pk = max(worst_pk, dev)
+        if dev != 0.0:
+            failures.append(f"packed grads {jax.tree_util.keystr(pa)}: "
+                            f"deviate {dev:.2e} from the flax entry point")
+    pk["max_abs_dev_vs_flax_entry"] = worst_pk
+    if not pk["offdiag_zero"]:
+        failures.append("packed grads: off-diagonal artifacts not masked")
+
+    # ---- 6. member-grid rollout on chip: M=1 bit-identical to the solo
+    #         kernel; a 2-member run's stored values match flax under each
+    #         member's OWN weights
+    params_b = jax.jit(model.init)(jax.random.PRNGKey(9),
+                                   jnp.zeros((1, 8), jnp.float32))
+    flat1 = dict(px=sp_state.px, py=sp_state.py, psi=sp_state.ppsi,
+                 tx=sp_state.tx[:, 0], ty=sp_state.ty[:, 0],
+                 tv=sp_state.tv[:, 0], tpsi=sp_state.tpsi[:, 0],
+                 steps=sp_state.steps, total_reward=sp_state.total_reward)
+    stm, bufm = jax.jit(lambda f, o, p: (
+        pallas_policy.fused_policy_rollout_members(
+            jax.tree.map(lambda x: x[None], f), o[None],
+            jax.tree.map(lambda x: x[None], p),
+            seed=3, step_offset=0, K=Kp)))(
+        flat1, sp_obs.astype(jnp.float32), params)
+    mem = {}
+    worst_m1 = 0.0
+    for k in stp2:
+        dev = float(np.abs(np.asarray(stp2[k])
+                           - np.asarray(stm[k][0])).max())
+        worst_m1 = max(worst_m1, dev)
+    for k in bufp:
+        dev = float(np.abs(np.asarray(bufp[k])
+                           - np.asarray(bufm[k][0])).max())
+        worst_m1 = max(worst_m1, dev)
+    mem["max_abs_dev_m1_vs_solo"] = worst_m1
+    if worst_m1 != 0.0:
+        failures.append(f"member-grid rollout at M=1 deviates {worst_m1:.2e} "
+                        "from the solo kernel")
+    E1 = pallas_policy.E
+    flat2 = {k: jnp.stack([v[:E1], v[:E1]]) for k, v in flat1.items()}
+    stacked2 = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                            params, params_b)
+    _, buf2 = jax.jit(lambda f, o, p: (
+        pallas_policy.fused_policy_rollout_members(
+            f, o, p, seed=5, step_offset=0, K=4)))(
+        flat2, jnp.stack([sp_obs[:E1], sp_obs[:E1]]).astype(jnp.float32),
+        stacked2)
+    worst_mv = 0.0
+    for m, pm in enumerate((params, params_b)):
+        o = jnp.asarray(buf2["obs"][m].reshape(-1, 8))
+        _, _, vf = jax.jit(lambda o, p=pm: model.apply(p, o))(o)
+        worst_mv = max(worst_mv, float(np.abs(
+            np.asarray(buf2["values"][m]).reshape(-1)
+            - np.asarray(vf)).max()))
+    mem["max_abs_err_member_values_vs_flax"] = worst_mv
+    if worst_mv > 2e-2:
+        failures.append(f"member-grid values vs flax err {worst_mv:.2e}")
+
     import time
     print(json.dumps({"ok": not failures, "failures": failures,
                       "hardware": f"{jax.devices()[0].device_kind} "
@@ -330,7 +404,8 @@ def main() -> int:
                       "date": time.strftime("%Y-%m-%d"),
                       "command": "python scripts/pallas_tpu_check.py",
                       "deterministic": det, "statistical": stat,
-                      "update_grads": upd, "policy_kernel": pol}))
+                      "update_grads": upd, "policy_kernel": pol,
+                      "packed_grads": pk, "member_rollout": mem}))
     return 1 if failures else 0
 
 

@@ -3,45 +3,45 @@
 #
 #   bash scripts/population_pipeline.sh <master_seed> [out_prefix]
 #
-# Stage 1: 32 member policies trained in ONE vmapped device program with
-#          minibatch grads in the fused Pallas kernel (268M env-steps
-#          each at 33.4M aggregate env-steps/s — ~4.7 min on one v5e),
-#          per-member top-k snapshot archives, risk-adjusted 512-episode
-#          re-eval selection.
-# Stage 2: 16-member polish population warm-started from the stage-1
-#          winner (67M steps at lr 1e-4, ~0.8 min), same selection.
+# ONE train.py command runs the whole pipeline (~2.5-4 min wall on one
+# v5e, warm compile cache):
+#   Stage 1: 32 member policies trained in one device program
+#            (member-grid fused rollout + packed fused update), 1024 envs
+#            x 134.2M env-steps each — the SAME Adam-step count as the
+#            original 2048-env x 268M recipe at half the samples (policy
+#            quality on this task is update-count-bound, measured round 5)
+#            — per-member top-k snapshot archives, risk-adjusted
+#            512-episode re-eval selection.
+#   Stage 2: in-process 16-member polish population warm-started from the
+#            stage-1 winner (33.6M steps at lr 1e-4), same selection
+#            (train.py --polish-steps; no second process startup).
 # Then the strict 100-episode exact-protocol eval of the final policy.
 #
 # Committed evidence (artifacts/population/, pinned by
-# tests/test_population_artifacts.py): five fresh master seeds
-# 701/801/901 (XLA-update pipeline) and 1101/1201 (this fused pipeline) ->
-# 1209.20 / 1208.81 / 1203.75 / 1223.11 / 1222.45, 100/100 goals each (reference's
-# own run: 1198.22 final, 1226.55 best, over 10-episode evals).
+# tests/test_population_artifacts.py):
+#   generation 1 (two-process, 2048 envs x 268M, ~6-14 min/seed): five
+#     fresh master seeds 701/801/901/1101/1201 -> 1209.2/1208.8/1203.8/
+#     1223.1/1222.5 strict, 100/100 goals each;
+#   generation 2 (this script): fresh master seeds 1401/1501/1601/1701/
+#     1801/1901 — see pipe2_* artifacts, all >=1200 strict at ~2.7x less
+#     wall.
+# (Reference's own run: 1198.22 final, 1226.55 best, over 10-episode
+# evals; 244.8 min.)
 set -euo pipefail
 S=${1:?usage: population_pipeline.sh <master_seed> [out_prefix]}
 PREFIX=${2:-pop_pipeline}
 
 # the tunneled accelerator grant occasionally fails a process at launch
-# (observed once across ~20 round-4 runs); one retry per stage absorbs it
+# (observed once across ~20 round-4 runs); one retry absorbs it
 retry() { "$@" || { echo "[pipeline] stage failed; retrying once" >&2; "$@"; }; }
 
-retry python train.py --preset tpu --anneal-lr --population 32 --fused-update \
-  --total-steps 268435456 --checkpoint-every 67108864 \
+retry python train.py --preset tpu --anneal-lr --population 32 \
+  --fused-rollout --fused-update-packed \
+  --n-envs 1024 --minibatch-size 32768 \
+  --total-steps 134217728 --checkpoint-every 134217728 \
   --eval-episodes 32 --reval-episodes 512 \
-  --seed "$S" --run-name "${PREFIX}_s${S}_stage1"
-
-retry python train.py --preset tpu --anneal-lr --population 16 --fused-update \
-  --init-params-npz "runs/ppo/${PREFIX}_s${S}_stage1/selected_best.npz" \
-  --total-steps 67108864 --lr 1e-4 --checkpoint-every 67108864 \
-  --eval-episodes 32 --reval-episodes 512 \
-  --seed "$((S + 50))" --run-name "${PREFIX}_s${S}_polish"
-
-# pipeline-level record: fold the stage-1 selection summary into the polish
-# population.json (the committed-artifact schema, tests/test_population_artifacts.py)
-python scripts/population_merge.py \
-  "runs/ppo/${PREFIX}_s${S}_stage1" "runs/ppo/${PREFIX}_s${S}_polish" \
-  stage1_population32_fused_update reval512_risk_adjusted \
-  polish_population16_fused
+  --polish-steps 33554432 --polish-pop 16 \
+  --seed "$S" --run-name "${PREFIX}_s${S}"
 
 retry python eval.py \
   --params-npz "runs/ppo/${PREFIX}_s${S}_polish/selected_best.npz" \

@@ -1,0 +1,48 @@
+#!/bin/bash
+# Best-effort reference-beating policy from scratch in about a minute:
+#
+#   bash scripts/sub_minute.sh <master_seed> [out_prefix]
+#
+# ONE train.py command: an 8-member population (member-grid fused rollout
+# + packed fused update, 1024 envs x 134.2M steps each — the update-count-
+# equivalent of the full recipe) + in-process 8-member polish.  ~55-75 s
+# training wall on one v5e with a warm compile cache.
+#
+# HONEST ODDS: with only 8 lottery tickets the winner clears 1200 on the
+# strict protocol for SOME seeds, not all (measured stage-1 winner range
+# ~1185-1220 at P=16; P=8 is weaker max-statistics).  The every-seed
+# reliable path is scripts/population_pipeline.sh (32 members + polish,
+# ~2.5-4 min).  Physics note, round 5: the population step is measured AT
+# its VPU wall (docs/PERFORMANCE.md), and quality is Adam-step-count
+# bound — a sub-75s wall simply cannot fund 32 members' update steps on
+# one v5e chip.
+set -euo pipefail
+S=${1:?usage: sub_minute.sh <master_seed> [out_prefix]}
+PREFIX=${2:-subminute}
+
+t0=$(date +%s.%N)
+python train.py --preset tpu --anneal-lr --population 8 \
+  --fused-rollout --fused-update-packed \
+  --n-envs 1024 --minibatch-size 32768 \
+  --total-steps 134217728 --checkpoint-every 134217728 \
+  --eval-episodes 32 --reval-episodes 512 \
+  --polish-steps 33554432 --polish-pop 8 \
+  --seed "$S" --run-name "${PREFIX}_s${S}"
+t1=$(date +%s.%N)
+WALL=$(python -c "print(f'{$t1 - $t0:.1f}')")
+echo "[sub_minute] seed $S training wall: ${WALL} s"
+python - "$WALL" "runs/ppo/${PREFIX}_s${S}_polish/population.json" <<'EOF'
+import json, sys
+wall, path = float(sys.argv[1]), sys.argv[2]
+with open(path) as f:
+    d = json.load(f)
+d["training_wall_s"] = wall
+with open(path, "w") as f:
+    json.dump(d, f, indent=1)
+EOF
+
+# strict verification (CPU float64 exact protocol; not part of the wall)
+python eval.py \
+  --params-npz "runs/ppo/${PREFIX}_s${S}_polish/selected_best.npz" \
+  --exact --episodes 100 \
+  --out "runs/ppo/${PREFIX}_s${S}_polish/eval_100_exact.csv"

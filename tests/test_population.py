@@ -100,7 +100,10 @@ def test_tracker_selection_and_persistence(tmp_path):
         t.snap_params["dense"]["kernel"][0, i0_best],
         params["dense"]["kernel"][0])
 
-    # restart: state restored from the persisted npz
+    # restart: state restored from the persisted npz.  Persistence is
+    # time-throttled (save_interval_s), so an orderly shutdown flushes;
+    # a crash loses at most save_interval_s of archive progress.
+    t.flush()
     t2 = population.PopulationTracker(run, 3, seed=100, k=2)
     np.testing.assert_array_equal(t2.snap_vals, t.snap_vals)
     np.testing.assert_array_equal(

@@ -97,6 +97,19 @@ def parse_args(argv=None):
                         "one launch; needs n_envs % 1024 == 0), and "
                         "--init-params-npz (polish stage). Multi-device "
                         "runs shard members across chips")
+    p.add_argument("--polish-steps", type=int, default=0, metavar="N",
+                   help="population mode: after selection, run an "
+                        "IN-PROCESS polish stage — a fresh population "
+                        "warm-started from the selected policy, trained N "
+                        "more steps at --polish-lr, with its own "
+                        "risk-adjusted re-eval selection. One command then "
+                        "covers the full pipeline "
+                        "(scripts/sub_minute.sh), and the second stage "
+                        "skips process startup + backend acquisition "
+                        "(~8-25 s on the tunneled rig)")
+    p.add_argument("--polish-pop", type=int, default=0,
+                   help="polish population size (default population // 2)")
+    p.add_argument("--polish-lr", type=float, default=1e-4)
     p.add_argument("--reval-episodes", type=int, default=256,
                    help="population mode: episodes of the fresh end-of-run "
                         "re-eval of every member's best snapshot that "
@@ -575,6 +588,8 @@ def main(argv=None):
                     ckpt.save(gstep, state)
                     record_eval_count(f"{args.out_dir}/{run_name}", gstep,
                                       evals_done)
+                    if pop:
+                        pop_tracker.flush()    # throttled archive saves
                 while next_ckpt <= gstep:
                     next_ckpt += args.checkpoint_every
     except KeyboardInterrupt:
@@ -677,6 +692,64 @@ def main(argv=None):
           file=sys.stderr)
     logger.close()
     eval_logger.close()
+
+    if pop and args.polish_steps > 0:
+        # In-process polish stage: re-enter main() with the polish argv —
+        # same backend (no re-acquisition of the tunnel grant), warm
+        # in-process + persistent compile caches, stage-specific run dir.
+        polish_argv = [
+            "--population", str(args.polish_pop or max(pop // 2, 1)),
+            "--init-params-npz",
+            f"{args.out_dir}/{run_name}/selected_best.npz",
+            "--total-steps", str(args.polish_steps),
+            "--lr", str(args.polish_lr),
+            "--checkpoint-every", str(args.polish_steps),
+            "--seed", str(args.seed + 50),
+            "--run-name", f"{run_name}_polish",
+            "--out-dir", args.out_dir,
+            "--preset", args.preset,
+            "--reval-episodes", str(args.reval_episodes),
+        ]
+        for flag, val in (("--n-envs", args.n_envs),
+                          ("--n-steps", args.n_steps),
+                          ("--minibatch-size", args.minibatch_size),
+                          ("--n-epochs", args.n_epochs),
+                          ("--ent-coef", args.ent_coef),
+                          ("--shuffle-block", args.shuffle_block),
+                          ("--fused-chunk", args.fused_chunk),
+                          ("--eval-episodes", args.eval_episodes),
+                          ("--eval-every", args.eval_every),
+                          ("--compile-cache", args.compile_cache),
+                          ("--dtype", args.dtype),
+                          ("--iters-per-call", args.iters_per_call)):
+            if val is not None:
+                polish_argv += [flag, str(val)]
+        for flag, on in (("--anneal-lr", args.anneal_lr),
+                         ("--fused-rollout", args.fused_rollout),
+                         ("--fused-update", args.fused_update),
+                         ("--fused-update-packed", args.fused_update_packed),
+                         ("--fused-update-bf16", args.fused_update_bf16)):
+            if on:
+                polish_argv.append(flag)
+        if args.platform == "cpu":
+            polish_argv += ["--platform", "cpu"]
+        print(f"polish stage (in-process): {' '.join(polish_argv)}",
+              file=sys.stderr)
+        rc = main(polish_argv)
+        if rc:
+            return rc
+        try:    # pipeline-level record (the committed-artifact schema)
+            from scripts.population_merge import merge
+            merge(f"{args.out_dir}/{run_name}",
+                  f"{args.out_dir}/{run_name}_polish",
+                  [f"stage1_population{pop}"
+                   + ("_rollpacked" if cfg.fused_update_packed
+                      and cfg.fused_rollout else ""),
+                   f"reval{args.reval_episodes}_risk_adjusted",
+                   f"polish_population{args.polish_pop or max(pop // 2, 1)}"])
+        except ImportError:
+            print("scripts.population_merge not importable; stage records "
+                  "left unmerged", file=sys.stderr)
     return 0
 
 
