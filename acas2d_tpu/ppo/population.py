@@ -539,6 +539,32 @@ class PopulationTracker:
             save_params_npz(
                 os.path.join(self.run_dir, "selected_best.npz"),
                 jax.tree.map(lambda x: x[i, j], self.snap_params))
+            # top-N snapshots across the WHOLE archive (ranked by the same
+            # score as the selection), as one stacked artifact: a polish
+            # stage warm-starts its members round-robin from these
+            # DIVERSE lineages instead of the single winner — a winner
+            # lineage sometimes plateaus under polish (measured round 5)
+            # while the runner-up lineages still climb
+            rank_vals = (score_vals if score_vals is not None
+                         else self.snap_vals)
+            flat_rank = np.asarray(rank_vals).reshape(-1)
+            claimed = np.isfinite(self.snap_vals.reshape(-1))
+            order = np.argsort(np.where(claimed, flat_rank, -np.inf))[::-1]
+            n_top = int(min(3, claimed.sum()))
+            if n_top > 0:
+                tops = [np.unravel_index(int(t), self.snap_vals.shape)
+                        for t in order[:n_top]]
+                stacked = jax.tree.map(
+                    lambda x: np.stack([x[a, b] for a, b in tops]),
+                    self.snap_params)
+                stacked["__stack_n__"] = np.asarray(n_top)
+                save_params_npz(
+                    os.path.join(self.run_dir, "top_snapshots.npz"),
+                    stacked)
+                summary["top_snapshots"] = [
+                    {"member": int(a), "slot": int(b),
+                     "rank_value": round(float(rank_vals[a, b]), 2)}
+                    for a, b in tops]
         with open(os.path.join(self.run_dir, "population.json"), "w") as f:
             json.dump(summary, f, indent=1)
         return summary

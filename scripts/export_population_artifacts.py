@@ -50,8 +50,9 @@ def strict_record(csv_path: str, art_npz: str, produced_by: str) -> dict:
 
 
 def export_seed(run_prefix: str, seed: int, art_prefix: str,
-                produced_by: str, out_dir: str) -> dict:
-    run = os.path.join(REPO, "runs", "ppo", f"{run_prefix}_s{seed}_polish")
+                produced_by: str, out_dir: str,
+                stage: str = "polish") -> dict:
+    run = os.path.join(REPO, "runs", "ppo", f"{run_prefix}_s{seed}_{stage}")
     art = os.path.join(REPO, "artifacts", "population")
     os.makedirs(art, exist_ok=True)
     sel_dst = os.path.join(art, f"{art_prefix}_s{seed}_selected.npz")
@@ -77,13 +78,17 @@ def main(argv=None) -> int:
                     help="comma-separated master seeds")
     ap.add_argument("--art-prefix", default=None,
                     help="artifact name prefix (default = run prefix)")
+    ap.add_argument("--stage", default="polish",
+                    help="run-dir stage suffix holding the final policy "
+                         "('final' for best-of-chain pipeline output)")
     ap.add_argument("--produced-by", default="scripts/population_pipeline.sh")
     args = ap.parse_args(argv)
     art_prefix = args.art_prefix or args.run_prefix
     rows = []
     for s in args.seeds.split(","):
         rec = export_seed(args.run_prefix, int(s), art_prefix,
-                          args.produced_by, "artifacts/population")
+                          args.produced_by, "artifacts/population",
+                          stage=args.stage)
         rows.append((int(s), rec["mean_reward"], rec["goals"]))
         print(f"seed {s}: strict {rec['mean_reward']} "
               f"({rec['goals']}/100 goals)")

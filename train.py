@@ -110,6 +110,11 @@ def parse_args(argv=None):
     p.add_argument("--polish-pop", type=int, default=0,
                    help="polish population size (default population // 2)")
     p.add_argument("--polish-lr", type=float, default=1e-4)
+    p.add_argument("--polish-rounds", type=int, default=1,
+                   help="chain this many polish stages (each warm-starts "
+                        "round-robin from the previous stage's top-3 "
+                        "snapshot lineages; a second round costs ~30 s "
+                        "and lifts plateaued winners)")
     p.add_argument("--reval-episodes", type=int, default=256,
                    help="population mode: episodes of the fresh end-of-run "
                         "re-eval of every member's best snapshot that "
@@ -336,20 +341,31 @@ def main(argv=None):
         state = population.init_population(model, cfg, env_params, pop,
                                            dtype)
         if args.init_params_npz:
-            # polish stage: every member starts from the SAME policy (a
-            # stage-1 selected_best.npz) and diverges through its own
-            # env/action RNG streams — selection then keeps the best
-            # fine-tuned variant
+            # polish stage: members warm-start from the artifact and
+            # diverge through their own env/action RNG streams — selection
+            # then keeps the best fine-tuned variant.  A STACKED artifact
+            # (top_snapshots.npz, '__stack_n__' marker) distributes its N
+            # diverse lineages round-robin over the members; a plain
+            # selected_best.npz starts every member from the same policy.
             from acas2d_tpu.utils.params_io import load_params_npz
-            loaded = jax.tree.map(
-                lambda x: jnp.asarray(x, dtype),
-                load_params_npz(args.init_params_npz))
-            tiled = jax.jit(lambda p: jax.tree.map(
-                lambda x: jnp.broadcast_to(
-                    x[None], (pop,) + x.shape).copy(), p))(loaded)
+            raw = load_params_npz(args.init_params_npz)
+            stack_n = raw.pop("__stack_n__", None)
+            loaded = jax.tree.map(lambda x: jnp.asarray(x, dtype), raw)
+            if stack_n is not None:
+                n_var = int(np.asarray(stack_n))
+                idx = jnp.arange(pop) % n_var
+                tiled = jax.jit(lambda p: jax.tree.map(
+                    lambda x: jnp.take(x, idx, axis=0), p))(loaded)
+                print(f"population warm-started round-robin from "
+                      f"{n_var} lineages in {args.init_params_npz}",
+                      file=sys.stderr)
+            else:
+                tiled = jax.jit(lambda p: jax.tree.map(
+                    lambda x: jnp.broadcast_to(
+                        x[None], (pop,) + x.shape).copy(), p))(loaded)
+                print(f"population warm-started from "
+                      f"{args.init_params_npz}", file=sys.stderr)
             state = state.replace(params=tiled)
-            print(f"population warm-started from {args.init_params_npz}",
-                  file=sys.stderr)
     else:
         state = learner.init_train_state(
             jax.random.PRNGKey(cfg.seed), model, cfg, env_params, dtype)
@@ -697,10 +713,14 @@ def main(argv=None):
         # In-process polish stage: re-enter main() with the polish argv —
         # same backend (no re-acquisition of the tunnel grant), warm
         # in-process + persistent compile caches, stage-specific run dir.
+        # warm-start from the top-3 snapshot LINEAGES when available (the
+        # single winner's lineage sometimes plateaus under polish)
+        init_art = f"{args.out_dir}/{run_name}/top_snapshots.npz"
+        if not os.path.exists(init_art):
+            init_art = f"{args.out_dir}/{run_name}/selected_best.npz"
         polish_argv = [
             "--population", str(args.polish_pop or max(pop // 2, 1)),
-            "--init-params-npz",
-            f"{args.out_dir}/{run_name}/selected_best.npz",
+            "--init-params-npz", init_art,
             "--total-steps", str(args.polish_steps),
             "--lr", str(args.polish_lr),
             "--checkpoint-every", str(args.polish_steps),
@@ -731,6 +751,12 @@ def main(argv=None):
                          ("--fused-update-bf16", args.fused_update_bf16)):
             if on:
                 polish_argv.append(flag)
+        if args.polish_rounds > 1:
+            polish_argv += [
+                "--polish-steps", str(args.polish_steps),
+                "--polish-pop", str(args.polish_pop or max(pop // 2, 1)),
+                "--polish-lr", str(args.polish_lr),
+                "--polish-rounds", str(args.polish_rounds - 1)]
         if args.platform == "cpu":
             polish_argv += ["--platform", "cpu"]
         print(f"polish stage (in-process): {' '.join(polish_argv)}",
