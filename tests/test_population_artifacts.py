@@ -63,6 +63,51 @@ def test_selection_record_is_two_stage(seed):
     assert abs(p["selected_reval"] - s["mean_reward"]) < 60.0
 
 
+# generation-2 pipeline (round 5, scripts/population_pipeline.sh: one
+# train.py command — 32-member 1024-env 268M-step stage (the flagship
+# recipe's Adam-step count at half the samples) + two chained diversified
+# polish stages — plus score-gated escalation): five fresh master seeds,
+# ~4-6 min wall each, no escalation needed
+SEEDS_V2 = (2101, 2201, 2301, 2401, 2501)
+
+
+@pytest.mark.parametrize("seed", SEEDS_V2)
+def test_pipeline_v2_strict_clears_1200(seed):
+    """Every generation-2 master seed's auto-selected policy recorded
+    >=1200 mean and 100/100 goals on the strict 100-episode exact
+    protocol, from a single-command ~4-minute pipeline (escalation
+    included in the recorded wall for weak masters)."""
+    path = os.path.join(ART, f"pipe5_s{seed}_strict.json")
+    if not os.path.exists(path):
+        pytest.skip("generation-2 artifacts not present")
+    with open(path) as f:
+        s = json.load(f)
+    assert s["episodes"] == 100
+    assert s["mean_reward"] >= 1200.0, s
+    assert s["goals"] == 100, s
+
+
+@pytest.mark.parametrize("seed", SEEDS_V2)
+def test_pipeline_v2_selection_record(seed):
+    """The generation-2 record carries the pipeline provenance: selection
+    by risk-adjusted fresh re-eval (never the strict set), the recorded
+    training wall, and the best-of-chain stage."""
+    path = os.path.join(ART, f"pipe5_s{seed}_population.json")
+    if not os.path.exists(path):
+        pytest.skip("generation-2 artifacts not present")
+    with open(path) as f:
+        p = json.load(f)
+    assert p["selected_by"] == "final_reval"
+    assert p["reval_episodes"] >= 256
+    assert p.get("risk_adjusted_selection") is True
+    assert p["training_wall_s"] > 0
+    assert "best_of_chain" in p
+    with open(os.path.join(ART, f"pipe5_s{seed}_strict.json")) as f:
+        s = json.load(f)
+    # fresh-episode re-eval and the fixed strict set agree within noise
+    assert abs(p["selected_reval"] - s["mean_reward"]) < 60.0
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS)
 def test_selected_policy_reproduces_quality(seed):
