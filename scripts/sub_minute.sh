@@ -4,15 +4,18 @@
 #   bash scripts/sub_minute.sh <master_seed> [out_prefix]
 #
 # ONE train.py command: an 8-member population (member-grid fused rollout
-# + packed fused update, 1024 envs x 134.2M steps each — the update-count-
-# equivalent of the full recipe) + in-process 8-member polish.  ~55-75 s
-# training wall on one v5e with a warm compile cache.
+# + packed fused update, 1024 envs x 134.2M steps each) + in-process
+# 8-member polish.  Measured: 316.7 s on a first-ever (cold-compile) run
+# on a degraded tunnel session (artifacts/demo_subminute_s3001.json:
+# ~200 s of that was compiles + session slowdown; a warm-cache healthy-
+# session wall is ~75-120 s).  The true sub-minute artifact remains the
+# r4 P=4 demo (artifacts/demo_47s_s2201.json, 47.4 s).
 #
 # HONEST ODDS: with only 8 lottery tickets the winner clears 1200 on the
 # strict protocol for SOME seeds, not all (measured stage-1 winner range
 # ~1185-1220 at P=16; P=8 is weaker max-statistics).  The every-seed
 # reliable path is scripts/population_pipeline.sh (32 members + polish,
-# ~2.5-4 min).  Physics note, round 5: the population step is measured AT
+# ~6-10 min).  Physics note, round 5: the population step is measured AT
 # its VPU wall (docs/PERFORMANCE.md), and quality is Adam-step-count
 # bound — a sub-75s wall simply cannot fund 32 members' update steps on
 # one v5e chip.
