@@ -91,6 +91,23 @@ def main() -> int:
         _write("headline.json", {"error": f"{type(e).__name__}: {e}"})
     print(f"[chip_session] headline t={time.time()-t0:.0f}s", flush=True)
 
+    # ---- 3b. population pipeline device rate (the shipped pipeline
+    #          shape: 32 members x 1024 envs, member-grid fused rollout +
+    #          packed fused update — scripts/population_pipeline.sh)
+    try:
+        import dataclasses
+        from scripts.population_probe import measure_variant
+        from acas2d_tpu.ppo.config import tpu_default
+        cfg = dataclasses.replace(
+            tpu_default(n_envs=1024, minibatch_size=32768),
+            fused_rollout=True, fused_update=True, fused_update_packed=True)
+        r = measure_variant(32, cfg, iters=4)
+        r["agg_note"] = "32 members x 131072-step batches per iteration"
+        _write("population.json", {"p32_rollpacked_1024": r})
+    except Exception as e:
+        _write("population.json", {"error": f"{type(e).__name__}: {e}"})
+    print(f"[chip_session] population t={time.time()-t0:.0f}s", flush=True)
+
     # ---- 4. multi-traffic XLA engine cost
     try:
         import dataclasses

@@ -246,6 +246,46 @@ def test_train_population_driver(tmp_path):
     assert summ["population_selection"]["selected_member"] == s["selected_member"]
 
 
+def test_train_population_polish_chain(tmp_path):
+    """train.py --polish-steps --polish-rounds 2: the in-process chained
+    polish runs, each stage warm-starts round-robin from the previous
+    stage's top-3 snapshot lineages (stacked top_snapshots.npz), and the
+    stage records merge into the pinned pipeline schema."""
+    import train as train_main
+
+    out = str(tmp_path)
+    rc = train_main.main([
+        "--platform", "cpu", "--n-envs", "8", "--n-steps", "16",
+        "--total-steps", "512", "--minibatch-size", "32",
+        "--n-epochs", "2", "--population", "3", "--eval-every", "256",
+        "--checkpoint-every", "512", "--seed", "11", "--reval-episodes", "8",
+        "--polish-steps", "256", "--polish-pop", "2", "--polish-rounds", "2",
+        "--run-name", "chain", "--out-dir", out])
+    assert rc == 0
+    for stage in ("chain", "chain_polish", "chain_polish_polish"):
+        run = os.path.join(out, stage)
+        assert os.path.exists(os.path.join(run, "population.json")), stage
+        assert os.path.exists(os.path.join(run, "selected_best.npz")), stage
+        assert os.path.exists(os.path.join(run, "top_snapshots.npz")), stage
+    # stacked top-snapshots artifact carries the lineage marker
+    from acas2d_tpu.utils.params_io import load_params_npz
+    tree = load_params_npz(os.path.join(out, "chain", "top_snapshots.npz"))
+    n = int(np.asarray(tree.pop("__stack_n__")))
+    assert 1 <= n <= 3
+    for leaf in jax.tree.leaves(tree):
+        assert leaf.shape[0] == n
+    # merged pipeline records: polish carries the stage-1 record, the
+    # second polish carries the first's
+    with open(os.path.join(out, "chain_polish", "population.json")) as f:
+        p1 = json.load(f)
+    assert p1["stage1"]["population"] == 3
+    with open(os.path.join(out, "chain_polish_polish",
+                           "population.json")) as f:
+        p2 = json.load(f)
+    assert p2["stage1"]["population"] == 2
+    assert p2["top_snapshots"][0]["rank_value"] is not None
+
+
 def test_population_fused_update_matches_xla():
     """cfg.fused_update in population mode: vmap extends the fused
     fwd+bwd kernel's grid over members (interpret mode on CPU); a full

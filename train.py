@@ -718,6 +718,12 @@ def main(argv=None):
         init_art = f"{args.out_dir}/{run_name}/top_snapshots.npz"
         if not os.path.exists(init_art):
             init_art = f"{args.out_dir}/{run_name}/selected_best.npz"
+        if not os.path.exists(init_art):
+            # no eval ever fired (total_steps below the eval cadence):
+            # nothing to polish from
+            print("polish skipped: no selection artifact (did any eval "
+                  "fire before total_timesteps?)", file=sys.stderr)
+            return 0
         polish_argv = [
             "--population", str(args.polish_pop or max(pop // 2, 1)),
             "--init-params-npz", init_art,
