@@ -50,8 +50,7 @@ def strict_record(csv_path: str, art_npz: str, produced_by: str) -> dict:
 
 
 def export_seed(run_prefix: str, seed: int, art_prefix: str,
-                produced_by: str, out_dir: str,
-                stage: str = "polish") -> dict:
+                produced_by: str, stage: str = "polish") -> dict:
     run = os.path.join(REPO, "runs", "ppo", f"{run_prefix}_s{seed}_{stage}")
     art = os.path.join(REPO, "artifacts", "population")
     os.makedirs(art, exist_ok=True)
@@ -87,8 +86,7 @@ def main(argv=None) -> int:
     rows = []
     for s in args.seeds.split(","):
         rec = export_seed(args.run_prefix, int(s), art_prefix,
-                          args.produced_by, "artifacts/population",
-                          stage=args.stage)
+                          args.produced_by, stage=args.stage)
         rows.append((int(s), rec["mean_reward"], rec["goals"]))
         print(f"seed {s}: strict {rec['mean_reward']} "
               f"({rec['goals']}/100 goals)")

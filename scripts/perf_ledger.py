@@ -28,8 +28,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # metrics where LOWER is better (or that are not rates): excluded from the
-# >10%-down flagging, still shown in the delta table
-_NOT_A_RATE = re.compile(r"(cost|error|_ms|_s$|wall|ratio|date|platform)")
+# >10%-down flagging, still shown in the delta table.  `(?<!per)_s$`
+# excludes seconds (first_call_s, measure_wall_s) but NOT rates named
+# *_per_s (agg_steps_per_s must stay flaggable)
+_NOT_A_RATE = re.compile(r"(cost|error|_ms|(?<!per)_s$|wall|ratio|date|platform)")
 
 
 def numeric_leaves(tree: dict, prefix: str = "") -> dict:
@@ -112,12 +114,17 @@ def main(argv=None) -> int:
     ap.add_argument("--session-dir", default="/tmp/chip_session")
     ap.add_argument("--out", default=None,
                     help="default artifacts/chip_session_r<N>.json")
+    ap.add_argument("--note", default=None,
+                    help="free-text annotation recorded in the ledger "
+                         "(e.g. the root cause of flagged deltas)")
     args = ap.parse_args(argv)
     phases = collect(args.session_dir)
     if not phases:
         print(f"no phase JSONs under {args.session_dir}", file=sys.stderr)
         return 2
     ledger = build_ledger(args.round, phases)
+    if args.note:
+        ledger["note"] = args.note
     out = args.out or os.path.join(
         REPO, "artifacts", f"chip_session_r{args.round:02d}.json")
     with open(out, "w") as f:

@@ -33,6 +33,15 @@ def test_delta_table_flags_only_rate_drops():
     assert "wall_s" not in flagged and "relative_cost" not in flagged
 
 
+def test_rates_named_per_s_are_flaggable_but_seconds_are_not():
+    prev = {"pop": {"agg_steps_per_s": 40e6, "first_call_s": 5.0}}
+    cur = {"pop": {"agg_steps_per_s": 30e6, "first_call_s": 50.0}}
+    _, flags = perf_ledger.delta_table(cur, prev)
+    joined = " ".join(flags)
+    assert "agg_steps_per_s" in joined
+    assert "first_call_s" not in joined
+
+
 def test_delta_table_ignores_metrics_missing_on_either_side():
     deltas, flags = perf_ledger.delta_table({"a": 1.0}, {"b": 2.0})
     assert deltas == {} and flags == []
