@@ -229,6 +229,16 @@ def make_population_step_fused_rollout(model: ActorCritic, cfg: PPOConfig,
 
     from acas2d_tpu.ppo.gae import compute_gae
 
+    if mesh is None and jax.device_count() > 1 \
+            and jax.default_backend() != "cpu":
+        # mirror make_fused_grads_fn's guard: an un-shard_mapped
+        # pallas_call does not partition under jit auto-sharding — it
+        # would gather every member onto one device
+        raise ValueError(
+            "population fused_rollout on a multi-device backend needs an "
+            "explicit mesh (population % n_devices == 0 and pass mesh= to "
+            "make_population_step) so the member-grid kernel runs under "
+            "shard_map")
     tx = learner.make_optimizer(cfg)
     fused_grads = _member_fused_grads(cfg) if cfg.fused_update else None
 

@@ -172,11 +172,12 @@ def main(argv=None):
     # completed eval (the CSV is written after the render block)
     render_eps = []
     if args.render_every > 0 or args.view:
-        # default: episode 1 for PNG dumps, ALL episodes for the live view
-        # (the reference replays every eval episode, testing_main.py:62-80)
+        # default: episode 1 for PNG dumps, ALL episodes whenever --view is
+        # on (the reference replays every eval episode,
+        # testing_main.py:62-80) — the view semantic wins when combined
         spec = args.render_episodes or (
-            "1" if args.render_every > 0
-            else ",".join(str(i) for i in range(1, B + 1)))
+            ",".join(str(i) for i in range(1, B + 1)) if args.view
+            else "1")
         try:
             render_eps = [int(e) for e in spec.split(",")]
         except ValueError:

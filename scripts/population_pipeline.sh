@@ -52,6 +52,7 @@ retry() { "$@" || { echo "[pipeline] stage failed; retrying once" >&2; "$@"; }; 
 
 t0=$SECONDS
 DIRS=()
+ATTEMPTS=0
 for ((a = 0; a < MAX_ATTEMPTS; a++)); do
   SA=$((S + 1000 * a))
   NAME="${PREFIX}_s${S}"
@@ -63,42 +64,24 @@ for ((a = 0; a < MAX_ATTEMPTS; a++)); do
     --eval-episodes 32 --reval-episodes 512 \
     --polish-steps 33554432 --polish-pop 16 --polish-rounds 2 \
     --seed "$SA" --run-name "$NAME"
+  ATTEMPTS=$((ATTEMPTS + 1))
   DIRS+=("runs/ppo/${NAME}_polish" "runs/ppo/${NAME}_polish_polish")
-  BEST_SCORE=$(python - "${DIRS[@]}" <<'EOF'
-import json, os, sys
-best = float("-inf")
-for c in sys.argv[1:]:
-    try:
-        with open(os.path.join(c, "population.json")) as f:
-            d = json.load(f)
-    except OSError:
-        continue
-    v = d.get("selected_score") or d.get("selected_reval") or -1e9
-    best = max(best, v)
-print(f"{best:.2f}")
-EOF
-)
-  echo "[pipeline] seed $S attempt $((a + 1)): best score ${BEST_SCORE}"
+  # the ONE best-selection definition (also used for the final pick below)
+  BEST_SCORE=$(python scripts/best_selection.py "${DIRS[@]}" | cut -f1)
+  echo "[pipeline] seed $S attempt ${ATTEMPTS}: best score ${BEST_SCORE}"
   python -c "import sys; sys.exit(0 if float('${BEST_SCORE}') >= ${GATE} else 1)" && break
   echo "[pipeline] score below gate ${GATE}; escalating with master seed $((S + 1000 * (a + 1)))"
 done
 WALL=$((SECONDS - t0))
-echo "[pipeline] seed $S training wall: ${WALL} s ($((a + 1)) attempt(s))"
+echo "[pipeline] seed $S training wall: ${WALL} s (${ATTEMPTS} attempt(s))"
 
 # best-across-attempts selection + a stable 'final' stage dir for artifacts
-python - "$S" "$PREFIX" "$WALL" "${DIRS[@]}" <<'EOF'
+BEST_LINE=$(python scripts/best_selection.py "${DIRS[@]}")
+python - "$S" "$PREFIX" "$WALL" "$ATTEMPTS" "$BEST_LINE" <<'EOF'
 import json, os, shutil, sys
-S, P, wall = sys.argv[1], sys.argv[2], float(sys.argv[3])
-best, bv = None, float("-inf")
-for c in sys.argv[4:]:
-    try:
-        with open(os.path.join(c, "population.json")) as f:
-            d = json.load(f)
-    except OSError:
-        continue
-    v = d.get("selected_score") or d.get("selected_reval") or -1e9
-    if v > bv:
-        best, bv = c, v
+S, P, wall, attempts = (sys.argv[1], sys.argv[2], float(sys.argv[3]),
+                        int(sys.argv[4]))
+bv, best = sys.argv[5].split("\t")
 assert best, "no polish stage produced a selection"
 final = f"runs/ppo/{P}_s{S}_final"
 os.makedirs(final, exist_ok=True)
@@ -108,9 +91,11 @@ with open(os.path.join(best, "population.json")) as f:
     d = json.load(f)
 d["best_of_chain"] = best
 d["training_wall_s"] = wall
+d["attempts"] = attempts
 with open(os.path.join(final, "population.json"), "w") as f:
     json.dump(d, f, indent=1)
-print(f"[pipeline] best-across-attempts: {best} (score {bv:.1f}) -> {final}")
+print(f"[pipeline] best-across-attempts: {best} (score {float(bv):.1f}) "
+      f"-> {final}")
 EOF
 
 retry python eval.py \

@@ -246,6 +246,23 @@ def test_train_population_driver(tmp_path):
     assert summ["population_selection"]["selected_member"] == s["selected_member"]
 
 
+def test_best_selection_helper(tmp_path):
+    """scripts/best_selection.py: the one shared definition of 'best stage'
+    (risk-adjusted score, reval fallback) used by BOTH the pipeline's gate
+    and its final pick."""
+    from scripts import best_selection
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    with open(a / "population.json", "w") as f:
+        json.dump({"selected_score": 1205.0, "selected_reval": 1290.0}, f)
+    with open(b / "population.json", "w") as f:
+        json.dump({"selected_reval": 1210.0}, f)   # no score: falls back
+    bv, bd = best_selection.best([str(a), str(b), str(tmp_path / "gone")])
+    assert bd == str(b) and bv == 1210.0           # score vs reval compared
+    assert best_selection.stage_score(str(tmp_path / "gone")) is None
+
+
 def test_train_population_polish_chain(tmp_path):
     """train.py --polish-steps --polish-rounds 2: the in-process chained
     polish runs, each stage warm-starts round-robin from the previous
