@@ -12,13 +12,15 @@
 # r4 P=4 demo (artifacts/demo_47s_s2201.json, 47.4 s).
 #
 # HONEST ODDS: with only 8 lottery tickets the winner clears 1200 on the
-# strict protocol for SOME seeds, not all (measured stage-1 winner range
-# ~1185-1220 at P=16; P=8 is weaker max-statistics).  The every-seed
-# reliable path is scripts/population_pipeline.sh (32 members + polish,
-# ~6-10 min).  Physics note, round 5: the population step is measured AT
-# its VPU wall (docs/PERFORMANCE.md), and quality is Adam-step-count
-# bound — a sub-75s wall simply cannot fund 32 members' update steps on
-# one v5e chip.
+# strict protocol for SOME seeds, not all — measured across the five
+# committed pipeline runs, only 14 of 160 members (8.75%) re-eval >=1220
+# (the true-mean headroom 1200-strict needs), so max-of-8 finds one ~52%
+# of the time vs ~95% for the pipeline's max-of-32.  The every-seed
+# reliable path is scripts/population_pipeline.sh (~6-10 min).  Physics,
+# round 5: the population step is measured AT its VPU wall and quality is
+# Adam-step-count bound (docs/PERFORMANCE.md) — a sub-75 s wall cannot
+# fund the member count x update count that reliability costs on one
+# v5e chip.
 set -euo pipefail
 S=${1:?usage: sub_minute.sh <master_seed> [out_prefix]}
 PREFIX=${2:-subminute}
