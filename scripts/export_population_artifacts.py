@@ -11,8 +11,8 @@ record from the exact-protocol CSV:
                                       train.py --polish-steps)
     <prefix>_s<seed>_strict.json      strict 100-episode eval + repro cmd
 
-    python scripts/export_population_artifacts.py --run-prefix pipe2 \
-        --seeds 1501,1601 --art-prefix pipe2 [--produced-by "..."]
+    python scripts/export_population_artifacts.py --run-prefix pipe5 \
+        --seeds 2101,2201 --stage final [--produced-by "..."]
 """
 
 from __future__ import annotations

@@ -36,8 +36,9 @@
 #   generation 1 (two-process, 2048 envs x 268M, ~6-14 min/seed): five
 #     fresh master seeds 701/801/901/1101/1201 -> 1209.2/1208.8/1203.8/
 #     1223.1/1222.5 strict, 100/100 goals each;
-#   generation 2 (this script): five fresh master seeds — pipe4_*
-#     artifacts, all >=1200 strict (see README).
+#   generation 2 (this script): five fresh master seeds 2101-2501 ->
+#     1211.1/1237.4/1239.2/1239.6/1210.6 strict, 100/100 goals, one
+#     attempt each (pipe5_* artifacts; see README).
 # (Reference's own run: 1198.22 final, 1226.55 best, over 10-episode
 # evals; 244.8 min.)
 set -euo pipefail
