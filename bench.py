@@ -530,7 +530,7 @@ def main():
     ap.add_argument("--guard", choices=["on", "off"], default="on",
                     help="compare the headline against the committed "
                          "best-known rates (artifacts/bench_reference.json) "
-                         "and auto-re-measure in a fresh process when >10% "
+                         "and auto-re-measure in a fresh process when >10%% "
                          "low ('off' inside the re-measure subprocess)")
     ap.add_argument("--platform", choices=["default", "cpu"], default="default",
                     help="force the CPU backend (this machine's "

@@ -94,7 +94,7 @@ def parse_args(argv=None):
                         "grid over members; 3x the XLA update), "
                         "--fused-update-packed, --fused-rollout (the "
                         "member-grid kernel rolls every member's envs in "
-                        "one launch; needs n_envs % 1024 == 0), and "
+                        "one launch; needs n_envs %% 1024 == 0), and "
                         "--init-params-npz (polish stage). Multi-device "
                         "runs shard members across chips")
     p.add_argument("--polish-steps", type=int, default=0, metavar="N",
